@@ -1,0 +1,270 @@
+"""Offline preprocessing: raw UESTC-MMEA-CL layout → per-window ``.npy`` + metadata CSV.
+
+Capability-parity port of the reference ``MMEAPreprocessor`` (``src/data/preprocessing.py:31-415``)
+with the signal path moved on-device: instead of a per-line Python loop calling
+``scipy.signal.medfilt`` six times per sequence (the reference hot loop,
+``preprocessing.py:272-360``), sequences are padded to static buckets and pushed through
+one jitted XLA program (``tpuhar.ops.featurize.preprocess_sequence``) — unit conversion,
+median filter, masked z-score, and window slicing fused into one compiled function per
+bucket.  ``featurize_backend="host"`` keeps a numpy/scipy path for golden comparisons.
+
+Artifacts are byte-compatible with the reference:
+``preprocessed/{split}/{class_dir}_{prefix}_w{idx}.npy`` float32 ``(window, 6)``,
+``{split}_metadata.csv`` (METADATA_COLUMNS order), ``preprocessing_stats.json`` with the
+same 11 counters (``preprocessing.py:45-57``).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config
+from ..ops import featurize as F
+from . import manifest as M
+
+
+def _bucket_length(n: int, window: int, max_len: int) -> int:
+    """Static bucket for a length-n sequence: next power-of-two >= max(n, window)."""
+    b = max(window, 256)
+    while b < n and b < max_len:
+        b *= 2
+    return min(max(b, window), max_len)
+
+
+class Preprocessor:
+    """Dataset preprocessor with reference-identical bookkeeping."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.paths = config.paths
+        self.data_cfg = config.data
+        # Same counter set as the reference (preprocessing.py:45-57).
+        self.preprocessing_stats = {
+            "total_samples": 0,
+            "skipped_samples": 0,
+            "total_windows": 0,
+            "samples_with_video": 0,
+            "samples_without_video": 0,
+            "classes_found": set(),
+            "bad_format_lines": 0,
+            "missing_sensor_files": 0,
+            "missing_video_files": 0,
+            "prefix_mismatch": 0,
+            "too_short_no_pad": 0,
+        }
+
+    # -- IO ------------------------------------------------------------------------
+    def load_raw_imu(self, sensor_relpath: str) -> Optional[np.ndarray]:
+        """Load an N×6 raw sensor CSV, coercing to 6 columns (preprocessing.py:156-187).
+
+        Returns *raw counts* (unit conversion happens on device), or None on error.
+        """
+        full_path = Path(self.paths.base_input) / sensor_relpath
+        if not full_path.exists():
+            self.preprocessing_stats["missing_sensor_files"] += 1
+            return None
+        try:
+            data = pd.read_csv(full_path, header=None).values.astype(np.float32)
+            if data.ndim == 1:
+                data = data.reshape(1, -1)
+            if data.shape[1] < 6:
+                pad = np.zeros((data.shape[0], 6 - data.shape[1]), dtype=np.float32)
+                data = np.hstack([data, pad])
+            elif data.shape[1] > 6:
+                data = data[:, :6]
+            return data
+        except Exception:
+            return None
+
+    # -- signal path ---------------------------------------------------------------
+    def _windows_device(self, raw: np.ndarray) -> List[np.ndarray]:
+        """On-device featurization via bucketed padding + the jitted fused pipeline."""
+        import jax.numpy as jnp
+
+        d = self.data_cfg
+        n = raw.shape[0]
+        window, stride = int(d.imu_window_size), int(d.imu_stride)
+
+        if d.imu_original_rate is not None and float(d.imu_original_rate) != float(
+            d.imu_sampling_rate
+        ):
+            n_target = int(round(n * float(d.imu_sampling_rate) / float(d.imu_original_rate)))
+            if n_target > 1:
+                raw = np.asarray(F.fourier_resample(jnp.asarray(raw), n_target))
+                n = raw.shape[0]
+
+        if n < window and not d.pad_short_sequences:
+            self.preprocessing_stats["too_short_no_pad"] += 1
+            return []
+
+        bucket = _bucket_length(n, window, int(d.max_sequence_length))
+        n_eff = min(n, bucket)
+        padded = np.zeros((bucket, raw.shape[1]), dtype=np.float32)
+        padded[:n_eff] = raw[:n_eff]
+
+        windows, n_valid = F.preprocess_sequence(
+            jnp.asarray(padded),
+            jnp.asarray(n_eff, dtype=jnp.int32),
+            window=window,
+            stride=stride,
+            kernel_size=int(d.median_filter_kernel),
+            normalize=bool(d.normalize_imu),
+            racc=float(d.Racc),
+            rgyro=float(d.Rgyro),
+        )
+        n_valid = int(n_valid)
+        out = np.asarray(windows[:n_valid], dtype=np.float32)
+        return [out[i] for i in range(n_valid)]
+
+    def _windows_host(self, raw: np.ndarray) -> List[np.ndarray]:
+        """Host scipy/numpy path reproducing the reference exactly (for golden tests)."""
+        import scipy.signal as signal
+
+        d = self.data_cfg
+        acc = raw[:, :3] / float(d.Racc)
+        gyro = raw[:, 3:6] / float(d.Rgyro)
+        imu = np.concatenate([acc, gyro], axis=1).astype(np.float32)
+
+        if d.imu_original_rate is not None and float(d.imu_original_rate) != float(
+            d.imu_sampling_rate
+        ):
+            n_target = int(
+                round(imu.shape[0] * float(d.imu_sampling_rate) / float(d.imu_original_rate))
+            )
+            if n_target > 1:
+                imu = np.stack(
+                    [signal.resample(imu[:, c], n_target) for c in range(imu.shape[1])],
+                    axis=1,
+                ).astype(np.float32)
+
+        k = int(d.median_filter_kernel)
+        if k > 1:
+            if k % 2 == 0:
+                k += 1
+            imu = np.stack(
+                [signal.medfilt(imu[:, c], kernel_size=k) for c in range(imu.shape[1])],
+                axis=1,
+            ).astype(np.float32)
+        if d.normalize_imu:
+            mean = imu.mean(axis=0, keepdims=True)
+            std = imu.std(axis=0, keepdims=True) + 1e-8
+            imu = ((imu - mean) / std).astype(np.float32)
+
+        window, stride = int(d.imu_window_size), int(d.imu_stride)
+        n = imu.shape[0]
+        if n < window:
+            if not d.pad_short_sequences:
+                self.preprocessing_stats["too_short_no_pad"] += 1
+                return []
+            imu = np.vstack(
+                [imu, np.zeros((window - n, imu.shape[1]), dtype=np.float32)]
+            )
+            n = window
+        return [imu[s : s + window] for s in range(0, n - window + 1, stride)]
+
+    def make_windows(self, raw: np.ndarray) -> List[np.ndarray]:
+        if self.data_cfg.featurize_backend == "host":
+            return self._windows_host(raw)
+        return self._windows_device(raw)
+
+    # -- split driver (preprocessing.py:255-374) -----------------------------------
+    def preprocess_split(self, split: str, save: bool = True) -> pd.DataFrame:
+        lines = M.load_split_lines(self.config, split)
+        self.preprocessing_stats["total_samples"] += len(lines)
+        d = self.data_cfg
+        records = []
+
+        for line in lines:
+            try:
+                info = M.parse_split_line(line)
+            except M.SplitLineError:
+                self.preprocessing_stats["bad_format_lines"] += 1
+                self.preprocessing_stats["skipped_samples"] += 1
+                continue
+
+            self.preprocessing_stats["classes_found"].add(info.class_dir)
+            base = Path(self.paths.base_input)
+            sensor_ok = (base / info.sensor_path).exists()
+            video_ok = (base / info.video_path).exists()
+
+            if not sensor_ok:
+                self.preprocessing_stats["missing_sensor_files"] += 1
+                self.preprocessing_stats["skipped_samples"] += 1
+                continue
+            if video_ok:
+                self.preprocessing_stats["samples_with_video"] += 1
+            else:
+                self.preprocessing_stats["samples_without_video"] += 1
+                self.preprocessing_stats["missing_video_files"] += 1
+                if d.require_video:
+                    self.preprocessing_stats["skipped_samples"] += 1
+                    continue
+
+            if Path(info.sensor_path).stem != Path(info.video_path).stem:
+                self.preprocessing_stats["prefix_mismatch"] += 1
+                self.preprocessing_stats["skipped_samples"] += 1
+                continue
+
+            raw = self.load_raw_imu(info.sensor_path)
+            if raw is None or raw.size == 0:
+                self.preprocessing_stats["skipped_samples"] += 1
+                continue
+
+            windows = self.make_windows(raw)
+            if not windows:
+                self.preprocessing_stats["skipped_samples"] += 1
+                continue
+
+            out_dir = Path(self.paths.preprocessed_dir) / split
+            if save:
+                out_dir.mkdir(parents=True, exist_ok=True)
+
+            for w_idx, window in enumerate(windows):
+                self.preprocessing_stats["total_windows"] += 1
+                start_frame = M.estimate_start_frame(
+                    w_idx,
+                    float(d.imu_stride),
+                    float(d.imu_sampling_rate),
+                    float(d.video_fps),
+                )
+                imu_path = None
+                if save:
+                    fname = f"{info.class_dir}_{info.sample_prefix}_w{w_idx}.npy"
+                    fpath = out_dir / fname
+                    np.save(fpath, window.astype(np.float32))
+                    imu_path = str(fpath)
+                records.append(
+                    M.window_record(
+                        split, info, line, w_idx, video_ok, window.shape, start_frame, imu_path
+                    )
+                )
+
+        df = pd.DataFrame(records)
+        if save:
+            Path(self.paths.preprocessed_dir).mkdir(parents=True, exist_ok=True)
+            df.to_csv(Path(self.paths.preprocessed_dir) / f"{split}_metadata.csv", index=False)
+        return df
+
+    def run_full_preprocessing(self) -> Dict[str, pd.DataFrame]:
+        results = {}
+        for split in ["train", "val", "test"]:
+            try:
+                results[split] = self.preprocess_split(split, save=True)
+            except FileNotFoundError:
+                print(f"Warning: split '{split}' not found, skipping")
+
+        stats = dict(self.preprocessing_stats)
+        stats["classes_found"] = sorted(stats["classes_found"])
+        stats_path = Path(self.paths.preprocessed_dir) / "preprocessing_stats.json"
+        stats_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(stats_path, "w", encoding="utf-8") as f:
+            json.dump(stats, f, indent=2)
+        return results
+
+
+# Alias matching the reference class name for drop-in familiarity.
+MMEAPreprocessor = Preprocessor

@@ -1,0 +1,134 @@
+"""Synthetic UESTC-MMEA-CL-layout fixture generator.
+
+The reference has no test suite and every inline smoke test needs the real dataset
+(SURVEY.md §4).  This module fabricates a tiny dataset in the exact raw layout the
+preprocessor consumes (``preprocessing.py:4-12``): ``train/val/test.txt`` split files,
+``sensor/<class_dir>/<prefix>.csv`` headerless N×6 raw-count CSVs, and
+``video/<class_dir>/<prefix>.mp4`` clips — so the full pipeline (preprocess → pretrain →
+classify → evaluate) runs end-to-end in CI on CPU JAX.
+
+Signals are class-dependent sinusoids + noise in raw counts, so classifiers can actually
+learn; videos are class-tinted noise so cross-modal alignment is learnable too.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def generate_synthetic_dataset(
+    root,
+    num_classes: int = 4,
+    samples_per_class: int = 3,
+    seq_len_range=(300, 700),
+    seq_len: Optional[int] = None,
+    video_size=(64, 64),
+    fps: float = 25.0,
+    with_video: bool = True,
+    seed: int = 0,
+    splits=("train", "val", "test"),
+) -> Path:
+    """Create a fake dataset under ``root``; returns ``root``.
+
+    Every class appears in every split (different random samples), matching how the
+    real split files reference the same class directories.
+    """
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    (root / "sensor").mkdir(parents=True, exist_ok=True)
+    if with_video:
+        (root / "video").mkdir(parents=True, exist_ok=True)
+
+    class_names = [f"{i}_activity{i}" for i in range(num_classes)]
+
+    for split in splits:
+        lines: List[str] = []
+        for ci, class_dir in enumerate(class_names):
+            for si in range(samples_per_class):
+                prefix = f"{class_dir}_{split}_{si}"
+                n = (
+                    int(seq_len)
+                    if seq_len is not None
+                    else int(rng.integers(seq_len_range[0], seq_len_range[1]))
+                )
+                raw = _synth_sequence(rng, n, ci)
+                sdir = root / "sensor" / class_dir
+                sdir.mkdir(parents=True, exist_ok=True)
+                np.savetxt(sdir / f"{prefix}.csv", raw, delimiter=",", fmt="%.1f")
+
+                if with_video:
+                    _write_video(
+                        root / "video" / class_dir / f"{prefix}.mp4",
+                        rng,
+                        ci,
+                        num_frames=max(int(n / 50.0 * fps), 8),
+                        size=video_size,
+                        fps=fps,
+                    )
+
+                start, end = 0, max(n // 50, 1)
+                lines.append(f"dataset/data/{class_dir}/{prefix} {start} {end} {ci}")
+        (root / f"{split}.txt").write_text("\n".join(lines) + "\n")
+    return root
+
+
+def _synth_sequence(rng: np.random.Generator, n: int, class_idx: int) -> np.ndarray:
+    """Class-dependent 6-channel raw-count IMU sequence (acc ~ ±1g, gyro ~ ±50 deg/s)."""
+    t = np.arange(n) / 50.0
+    freq = 0.5 + 0.7 * class_idx
+    phase = rng.uniform(0, 2 * np.pi, size=6)
+    amp_acc = 16384.0 * (0.3 + 0.1 * class_idx)
+    amp_gyr = 16.4 * (20.0 + 5.0 * class_idx)
+    out = np.zeros((n, 6), dtype=np.float32)
+    for c in range(3):
+        out[:, c] = amp_acc * np.sin(2 * np.pi * freq * (c + 1) * t + phase[c])
+    for c in range(3, 6):
+        out[:, c] = amp_gyr * np.sin(2 * np.pi * freq * (c - 2) * t + phase[c])
+    out += rng.normal(0, 0.05 * 16384.0, size=out.shape)
+    return out.astype(np.float32)
+
+
+def _write_video(path: Path, rng, class_idx: int, num_frames: int, size, fps: float) -> None:
+    import cv2
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    w, h = size
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    tint = np.zeros(3, dtype=np.float32)
+    tint[class_idx % 3] = 80.0 + 40.0 * (class_idx // 3)
+    for fi in range(num_frames):
+        frame = rng.normal(90.0, 30.0, size=(h, w, 3)).astype(np.float32)
+        frame += tint * (0.5 + 0.5 * np.sin(2 * np.pi * fi / 16.0))
+        writer.write(np.clip(frame, 0, 255).astype(np.uint8))
+    writer.release()
+
+
+def make_synthetic_config(dataset_root, output_root, **overrides):
+    """Build a Config pointed at a synthetic fixture with CI-friendly sizes."""
+    from ..config import Config
+
+    cfg = Config()
+    cfg.paths.base_input = Path(dataset_root)
+    cfg.paths.base_output = Path(output_root)
+    cfg.paths.__post_init__()
+    cfg.model.num_classes = overrides.pop("num_classes", 4)
+    cfg.model.video_backbone = overrides.pop("video_backbone", "tiny_cnn")
+    cfg.model.video_pretrained = False
+    cfg.data.video_resize = overrides.pop("video_resize", (64, 64))
+    cfg.training.pretrain_epochs = overrides.pop("pretrain_epochs", 2)
+    cfg.training.train_epochs = overrides.pop("train_epochs", 3)
+    cfg.training.pretrain_batch_size = overrides.pop("pretrain_batch_size", 4)
+    cfg.training.train_batch_size = overrides.pop("train_batch_size", 8)
+    cfg.training.num_workers = 0
+    cfg.eval.few_shot_samples = overrides.pop("few_shot_samples", [2, 4])
+    cfg.eval.few_shot_runs = overrides.pop("few_shot_runs", 2)
+    for k, v in overrides.items():
+        section, key = k.split(".", 1) if "." in k else (None, k)
+        if section:
+            setattr(getattr(cfg, section), key, v)
+        else:
+            raise ValueError(f"Unknown override {k}")
+    cfg.paths.ensure_dirs()
+    return cfg
