@@ -1,0 +1,133 @@
+"""Loss goldens: jnp implementations vs the reference's torch formulas."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from tpuhar import losses as L
+
+
+def _norm_pair(rng, b=8, d=256):
+    a = rng.normal(size=(b, d)).astype(np.float32)
+    v = rng.normal(size=(b, d)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return a, v
+
+
+def _reference_sigmoid_loss(imu, video, log_t=np.log(10.0), bias=-10.0):
+    """The reference's exact formula (src/models/losses.py:25-54), in torch."""
+    imu_t, vid_t = torch.from_numpy(imu), torch.from_numpy(video)
+    logits = imu_t @ vid_t.T
+    logits = logits * float(np.exp(log_t)) + bias
+    labels = 2 * torch.eye(imu_t.shape[0]) - 1
+    return TF.binary_cross_entropy_with_logits(
+        logits * labels, (labels + 1) / 2, reduction="mean"
+    ).item()
+
+
+def test_siglip_quirk_mode_matches_reference_formula(rng):
+    imu, video = _norm_pair(rng)
+    ours = float(
+        L.siglip_loss(
+            jnp.asarray(imu), jnp.asarray(video), jnp.log(10.0), -10.0,
+            quirk_sign_flip=True,
+        )
+    )
+    theirs = _reference_sigmoid_loss(imu, video)
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_siglip_correct_mode_repels_negatives(rng):
+    """In correct SigLIP, raising an off-diagonal similarity must raise the loss."""
+    imu, video = _norm_pair(rng, b=4, d=16)
+    base = float(L.siglip_loss(jnp.asarray(imu), jnp.asarray(video), 0.0, 0.0))
+    # make imu[0] similar to video[1]
+    imu2 = imu.copy()
+    imu2[0] = video[1] + 0.01 * imu[0]
+    imu2[0] /= np.linalg.norm(imu2[0])
+    moved = float(L.siglip_loss(jnp.asarray(imu2), jnp.asarray(video), 0.0, 0.0))
+    assert moved > base
+
+    # while the quirk mode (no repulsion) rewards it
+    base_q = float(
+        L.siglip_loss(jnp.asarray(imu), jnp.asarray(video), 0.0, 0.0, quirk_sign_flip=True)
+    )
+    moved_q = float(
+        L.siglip_loss(jnp.asarray(imu2), jnp.asarray(video), 0.0, 0.0, quirk_sign_flip=True)
+    )
+    assert moved_q < base_q
+
+
+def test_siglip_perfect_alignment_low_loss(rng):
+    imu, _ = _norm_pair(rng, b=8, d=64)
+    # identical embeddings, high temperature, bias ~ 0 → near-zero positive loss
+    loss = float(
+        L.siglip_loss(jnp.asarray(imu), jnp.asarray(imu), jnp.log(20.0), -10.0)
+    )
+    # positives: sim=1 → logit=10 → ~0; negatives: sim<1 pushed below bias
+    assert loss < 0.7
+
+
+def test_infonce_matches_torch(rng):
+    imu, video = _norm_pair(rng)
+    ours = float(L.infonce_loss(jnp.asarray(imu), jnp.asarray(video), 0.07))
+    imu_t, vid_t = torch.from_numpy(imu), torch.from_numpy(video)
+    logits = imu_t @ vid_t.T / 0.07
+    labels = torch.arange(8)
+    theirs = (
+        (TF.cross_entropy(logits, labels) + TF.cross_entropy(logits.T, labels)) / 2
+    ).item()
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.normal(size=(8, 32)).astype(np.float32)
+    labels = rng.integers(0, 32, size=8)
+    ours = float(L.cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    theirs = TF.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels)).item()
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_focal_matches_torch_formula(rng):
+    logits = rng.normal(size=(8, 32)).astype(np.float32)
+    labels = rng.integers(0, 32, size=8)
+    ours = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=2.0))
+    ce = TF.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels), reduction="none"
+    )
+    pt = torch.exp(-ce)
+    theirs = ((1 - pt) ** 2 * ce).mean().item()
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_label_smoothing_matches_torch_formula(rng):
+    logits = rng.normal(size=(8, 32)).astype(np.float32)
+    labels = rng.integers(0, 32, size=8)
+    ours = float(
+        L.label_smoothing_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), epsilon=0.1)
+    )
+    logp = TF.log_softmax(torch.from_numpy(logits), dim=1)
+    oh = torch.zeros_like(logp).scatter_(1, torch.from_numpy(labels)[:, None], 1)
+    oh = oh * 0.9 + 0.1 / 32
+    theirs = (-(oh * logp).sum(1)).mean().item()
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_weighted_ce_reduces_to_ce_with_uniform_weights(rng):
+    logits = rng.normal(size=(8, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, size=8)
+    w = jnp.ones(4)
+    a = float(L.weighted_cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels), w))
+    b = float(L.cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(a - b) < 1e-6
+
+
+def test_factory():
+    assert L.get_loss_function("infonce") is L.infonce_loss
+    fn = L.get_loss_function("focal", gamma=1.5)
+    assert callable(fn)
+    with pytest.raises(ValueError):
+        L.get_loss_function("nope")

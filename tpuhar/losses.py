@@ -1,0 +1,145 @@
+"""Loss functions: SigLIP sigmoid contrastive, InfoNCE, cross-entropy, focal,
+label smoothing — pure jnp functions over embeddings/logits.
+
+Reference counterparts in ``src/models/losses.py`` (== ``src/train/losses.py``, the two
+files are byte-identical in the reference).  The key fidelity note is quirk Q2: the
+reference computes ``BCEWithLogits(logits*labels, (labels+1)/2)`` with
+``labels = 2*eye-1`` (``losses.py:44-52``).  For a negative pair (label −1, target 0)
+that term is ``softplus(-(-z)) · 0 + softplus(-z)``… working through BCE-with-logits on
+input ``-z`` with target 0 gives ``softplus(-z)`` — the same as the positive-pair term
+``softplus(-z)`` — instead of true SigLIP's ``softplus(+z)``.  Every pair is pushed
+toward higher similarity; there is no repulsion.  ``siglip_loss`` implements correct
+SigLIP by default; ``quirk_sign_flip=True`` reproduces the reference formula exactly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def siglip_loss(
+    imu_embeds: jax.Array,
+    video_embeds: jax.Array,
+    log_temperature,
+    bias,
+    *,
+    quirk_sign_flip: bool = False,
+) -> jax.Array:
+    """SigLIP-style sigmoid contrastive loss over an all-pairs similarity matrix.
+
+    Args are unit-normalized ``(B, D)`` embeddings plus the log-temperature and bias
+    scalars (reference init: log 10 and −10, ``losses.py:15-23``).
+
+    Correct SigLIP (default): ``mean_ij softplus(-z_ij * logits_ij)`` with z=+1 on the
+    diagonal and −1 off it.  ``quirk_sign_flip=True``: the reference's formula, whose
+    off-diagonal term degenerates to the attractive ``softplus(-logits)``.
+    Reduction is ``mean`` over all B² pairs, matching BCE-with-logits
+    ``reduction='mean'`` (``losses.py:48-52``).
+    """
+    imu_embeds = imu_embeds.astype(jnp.float32)
+    video_embeds = video_embeds.astype(jnp.float32)
+    B = imu_embeds.shape[0]
+    logits = imu_embeds @ video_embeds.T
+    logits = logits * jnp.exp(log_temperature) + bias
+    signs = 2.0 * jnp.eye(B, dtype=logits.dtype) - 1.0
+    if quirk_sign_flip:
+        # BCEWithLogits(logits*signs, (signs+1)/2):
+        #   positive pair: softplus(-z);  negative pair: softplus(-z)  ← same sign!
+        targets = (signs + 1.0) / 2.0
+        scaled = logits * signs
+        loss = _softplus(scaled) - targets * scaled
+    else:
+        loss = _softplus(-signs * logits)
+    return jnp.mean(loss)
+
+
+def infonce_loss(
+    imu_embeds: jax.Array, video_embeds: jax.Array, temperature: float = 0.07
+) -> jax.Array:
+    """Symmetric InfoNCE / NT-Xent (reference ``losses.py:57-87``, which is correct)."""
+    imu_embeds = imu_embeds.astype(jnp.float32)
+    video_embeds = video_embeds.astype(jnp.float32)
+    B = imu_embeds.shape[0]
+    logits = imu_embeds @ video_embeds.T / temperature
+    labels = jnp.arange(B)
+    loss_i2v = cross_entropy_loss(logits, labels)
+    loss_v2i = cross_entropy_loss(logits.T, labels)
+    return (loss_i2v + loss_v2i) / 2.0
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, *, reduction: str = "mean"
+) -> jax.Array:
+    """Softmax cross-entropy over integer labels (``nn.CrossEntropyLoss`` equivalent)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return _reduce(nll, reduction)
+
+
+def focal_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    alpha: float = 1.0,
+    gamma: float = 2.0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Focal loss (reference ``losses.py:90-116``): ``alpha*(1-p_t)^gamma * CE``."""
+    ce = cross_entropy_loss(logits, labels, reduction="none")
+    pt = jnp.exp(-ce)
+    return _reduce(alpha * (1.0 - pt) ** gamma * ce, reduction)
+
+
+def label_smoothing_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    epsilon: float = 0.1,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Label-smoothed CE (reference ``losses.py:119-150``)."""
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    one_hot = jax.nn.one_hot(labels, n, dtype=logp.dtype)
+    smoothed = one_hot * (1.0 - epsilon) + epsilon / n
+    loss = -jnp.sum(smoothed * logp, axis=-1)
+    return _reduce(loss, reduction)
+
+
+def weighted_cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, class_weights: jax.Array
+) -> jax.Array:
+    """Class-weighted CE (pairs with ``manifest.get_class_weights``; the reference ships
+    the weights helper but never wires it in — here it is usable)."""
+    nll = cross_entropy_loss(logits, labels, reduction="none")
+    w = class_weights[labels]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def _reduce(x, reduction: str):
+    if reduction == "mean":
+        return jnp.mean(x)
+    if reduction == "sum":
+        return jnp.sum(x)
+    return x
+
+
+def get_loss_function(loss_name: str, **kwargs):
+    """Loss factory (reference ``losses.py:153-167``); returns a jnp-closure."""
+    import functools
+
+    table = {
+        "sigmoid_contrastive": siglip_loss,
+        "infonce": infonce_loss,
+        "cross_entropy": cross_entropy_loss,
+        "focal": focal_loss,
+        "label_smoothing": label_smoothing_cross_entropy,
+    }
+    if loss_name not in table:
+        raise ValueError(f"Unknown loss function: {loss_name}")
+    fn = table[loss_name]
+    return functools.partial(fn, **kwargs) if kwargs else fn

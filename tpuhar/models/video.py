@@ -1,0 +1,304 @@
+"""Video clip encoders: VideoMAE-architecture ViT, ResNet-18, MobileNetV2, and a tiny
+CNN for CI — all Flax, all emitting ``(B, video_d_model)`` plus a token/frame stream
+for cross-attention fusion.
+
+Mirrors the reference ``VideoEncoder``'s three backends (``src/models/models.py:137-216``):
+a HuggingFace ``VideoMAEModel`` (``models.py:154-158``), torchvision ``resnet18``
+(``:163-167``), and ``mobilenet_v2`` (``:169-173``), with CNN paths folding time into
+the batch and mean-pooling over frames (``:208-216``).  Here the backbones are native
+Flax so the whole clip → embedding path is one XLA program; HF/torchvision pretrained
+weights can be grafted via ``tpuhar.models.convert`` when a local checkpoint exists
+(this container has no network egress, so ``from_pretrained``-style downloads are not a
+capability we can or do depend on).
+
+ViT pooling note: HF ``VideoMAEModel`` has no CLS token; the reference's
+``last_hidden_state[:, 0]`` (``models.py:201``) grabs the first *patch* token.  Default
+here is mean pooling; ``pool="first"`` reproduces the reference choice.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import PreNormBlock
+
+# name → (depth, d_model, heads) for the ViT family; "base" matches VideoMAE-Base
+# (MCG-NJU/videomae-base-*: 12 layers, 768 dim, 12 heads, tubelet 2×16×16).
+VIT_CONFIGS = {
+    "videomae_base": (12, 768, 12),
+    "videomae_small": (12, 384, 6),
+    "videomae_tiny": (4, 192, 3),
+}
+
+
+class TubeletEmbed(nn.Module):
+    """3D tubelet patch embedding: (B, T, H, W, 3) → (B, N, d_model).
+
+    VideoMAE uses 2-frame × 16×16-pixel tubelets; implemented as a Conv3D with
+    stride == kernel, i.e. one big matmul after reshaping — MXU-friendly.
+    """
+
+    d_model: int
+    tubelet: Tuple[int, int, int] = (2, 16, 16)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.d_model,
+            kernel_size=self.tubelet,
+            strides=self.tubelet,
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class VideoViT(nn.Module):
+    """VideoMAE-architecture video transformer.
+
+    Input ``(B, T, H, W, 3)`` normalized pixels → token stream + pooled embedding.
+    """
+
+    depth: int = 12
+    d_model: int = 768
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    pool: str = "mean"  # "first" replicates the reference's token-0 grab
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = TubeletEmbed(self.d_model, dtype=self.dtype, name="tubelet")(x)
+        B = h.shape[0]
+        tokens = h.reshape(B, -1, self.d_model)
+        pos = self.param(
+            "pos_encoding", nn.initializers.normal(0.02), (1, tokens.shape[1], self.d_model)
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        for i in range(self.depth):
+            tokens = PreNormBlock(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                d_ff=self.d_model * self.mlp_ratio,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens, deterministic=not train)
+        tokens = nn.LayerNorm(dtype=self.dtype, name="final_norm")(tokens)
+        if self.pool == "first":
+            emb = tokens[:, 0]
+        else:
+            emb = jnp.mean(tokens, axis=1)
+        return emb.astype(jnp.float32), tokens
+
+
+# ---------------------------------------------------------------------------------
+# ResNet-18 (2D, per-frame)
+# ---------------------------------------------------------------------------------
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        residual = x
+        h = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
+        if residual.shape != h.shape:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(residual)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name="downsample_bn",
+            )(residual)
+        return nn.relu(h + residual)
+
+
+class ResNet18(nn.Module):
+    """Feature extractor matching torchvision resnet18 minus the FC head
+    (reference strips the head, ``models.py:163-167``).  Output: (B', 512) after GAP."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="stem_bn")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for li, (feats, blocks) in enumerate(((64, 2), (128, 2), (256, 2), (512, 2))):
+            for bi in range(blocks):
+                strides = 2 if (bi == 0 and li > 0) else 1
+                h = BasicBlock(
+                    feats, strides=strides, dtype=self.dtype, name=f"layer{li}_{bi}"
+                )(h, train=train)
+        return jnp.mean(h, axis=(1, 2))  # global average pool
+
+
+# ---------------------------------------------------------------------------------
+# MobileNetV2 (2D, per-frame)
+# ---------------------------------------------------------------------------------
+class InvertedResidual(nn.Module):
+    features: int
+    strides: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        in_feats = x.shape[-1]
+        hidden = in_feats * self.expand
+        h = x
+        if self.expand != 1:
+            h = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="expand_bn")(h)
+            h = jnp.minimum(nn.relu(h), 6.0)
+        h = nn.Conv(
+            hidden, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], feature_group_count=hidden, use_bias=False,
+            dtype=self.dtype, name="dw_conv",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="dw_bn")(h)
+        h = jnp.minimum(nn.relu(h), 6.0)
+        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="project_bn")(h)
+        if self.strides == 1 and in_feats == self.features:
+            h = h + x
+        return h
+
+
+MOBILENET_V2_SETTINGS = [
+    # (expand, features, repeats, stride)
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+]
+
+
+class MobileNetV2(nn.Module):
+    """torchvision mobilenet_v2 ``.features`` equivalent; output (B', 1280) after GAP."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = nn.Conv(
+            32, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="stem_bn")(h)
+        h = jnp.minimum(nn.relu(h), 6.0)
+        idx = 0
+        for expand, feats, repeats, stride in MOBILENET_V2_SETTINGS:
+            for r in range(repeats):
+                h = InvertedResidual(
+                    feats, strides=stride if r == 0 else 1, expand=expand,
+                    dtype=self.dtype, name=f"ir{idx}",
+                )(h, train=train)
+                idx += 1
+        h = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="head_bn")(h)
+        h = jnp.minimum(nn.relu(h), 6.0)
+        return jnp.mean(h, axis=(1, 2))
+
+
+class TinyVideoCNN(nn.Module):
+    """3-layer per-frame CNN for tests/CI (no reference counterpart; CI stand-in)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        h = x
+        for i, ch in enumerate((16, 32, 64)):
+            h = nn.Conv(ch, (3, 3), strides=(2, 2), dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.relu(h)
+        return jnp.mean(h, axis=(1, 2))
+
+
+CNN_FEATURE_DIMS = {"resnet18": 512, "mobilenet_v2": 1280, "tiny_cnn": 64}
+
+
+class VideoEncoder(nn.Module):
+    """Unified video encoder (reference ``VideoEncoder``, ``models.py:137-216``).
+
+    Input ``(B, T, H, W, 3)`` — NHWC feature-last, the TPU-native layout (the reference
+    uses torch NCHW; the loader emits feature-last directly).  Output
+    ``(embedding (B, video_d_model), tokens (B, N, video_d_model))``.
+
+    CNN backbones fold time into batch, GAP spatially, project to ``video_d_model``,
+    then mean over frames (``models.py:208-216``); the ViT projects its pooled token.
+    """
+
+    backbone: str = "videomae_base"
+    video_d_model: int = 768
+    pool: str = "mean"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, T = x.shape[0], x.shape[1]
+        x = x.astype(self.dtype)
+        if self.backbone in VIT_CONFIGS:
+            depth, d_model, heads = VIT_CONFIGS[self.backbone]
+            emb, tokens = VideoViT(
+                depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
+                dtype=self.dtype, name="vit",
+            )(x, train=train)
+            proj = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")
+            emb = proj(emb.astype(self.dtype)).astype(jnp.float32)
+            tokens = proj(tokens)
+            return emb, tokens
+
+        if self.backbone == "resnet18":
+            net = ResNet18(dtype=self.dtype, name="backbone")
+        elif self.backbone == "mobilenet_v2":
+            net = MobileNetV2(dtype=self.dtype, name="backbone")
+        elif self.backbone == "tiny_cnn":
+            net = TinyVideoCNN(dtype=self.dtype, name="backbone")
+        else:
+            raise ValueError(f"Unknown video backbone: {self.backbone}")
+
+        frames = x.reshape((B * T,) + x.shape[2:])
+        feats = net(frames, train=train)  # (B*T, feat)
+        feats = feats.reshape(B, T, -1)
+        tokens = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")(feats)
+        emb = jnp.mean(tokens, axis=1).astype(jnp.float32)  # temporal mean pool
+        return emb, tokens
+
+
+def build_video_encoder(config, dtype=None):
+    m = config.model
+    dtype = dtype or jnp.dtype(m.compute_dtype)
+    backbone = m.video_backbone
+    # The reference routes any string containing "videomae" or "/" to HuggingFace
+    # (models.py:154, quirk Q10); map HF-style names onto the native ViT.
+    if "/" in backbone or "videomae" in backbone.lower():
+        if backbone not in VIT_CONFIGS:
+            backbone = "videomae_base"
+    return VideoEncoder(
+        backbone=backbone, video_d_model=m.video_d_model, dtype=dtype
+    )
