@@ -1,0 +1,57 @@
+"""On-device video ops: uint8 → normalized float clips, resize, frame selection.
+
+The reference normalizes per frame on host inside DataLoader workers
+(``src/data/datasets.py:51-59``: resize → ToTensor → ImageNet Normalize).  Here the
+loader ships uint8 pixels and these ops run inside the jitted program, so scaling and
+normalization fuse with the encoder's first conv (one HBM pass, 4× less host→device
+traffic).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# torchvision ImageNet statistics (datasets.py:55-58)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_clip(
+    video_u8: jax.Array,
+    *,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """uint8 ``(..., H, W, 3)`` → ImageNet-normalized float ``(..., H, W, 3)``.
+
+    Folds /255, mean subtraction, and std division into one multiply-add so XLA emits a
+    single fused elementwise op.
+    """
+    mean = jnp.asarray(mean, dtype=dtype)
+    std = jnp.asarray(std, dtype=dtype)
+    scale = (1.0 / 255.0) / std
+    offset = -mean / std
+    return video_u8.astype(dtype) * scale + offset
+
+
+def resize_clip(video: jax.Array, height: int, width: int, method: str = "bilinear") -> jax.Array:
+    """Resize ``(B, T, H, W, C)`` clips on device via ``jax.image.resize``."""
+    B, T, _, _, C = video.shape
+    return jax.image.resize(
+        video, (B, T, height, width, C), method=method
+    )
+
+
+def select_uniform_frames(total_frames: int, start_frame, window_frames: int, num_frames: int):
+    """Uniform frame-index selection matching the reference (``datasets.py:191-206``).
+
+    Returns int32 indices of shape ``(num_frames,)``; traced-safe (start_frame may be a
+    scalar array).
+    """
+    start = jnp.clip(start_frame, 0, max(total_frames - 1, 0))
+    end = jnp.minimum(start + window_frames - 1, total_frames - 1)
+    span = jnp.maximum(end - start, 0)
+    frac = jnp.arange(num_frames) / max(num_frames - 1, 1)
+    idx = start + jnp.round(frac * span).astype(jnp.int32)
+    return jnp.clip(idx, 0, total_frames - 1).astype(jnp.int32)

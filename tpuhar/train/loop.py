@@ -1,0 +1,254 @@
+"""Training loops: epoch driving, early stopping, checkpoint policy, history.
+
+Capability-parity with the reference trainers (``src/train/trainer.py``):
+- ``CrossModalTrainer``: best = min val loss, early stop on ``patience``
+  (``trainer.py:169-227``), checkpoints ``last`` every epoch / ``best_model`` on
+  improvement / ``checkpoint_epoch_N`` every ``save_every`` (``trainer.py:188-223``),
+  ``training_history.json`` at the end (``trainer.py:229-230``).
+- ``ClassificationTrainer``: best = max balanced accuracy, patience on that metric
+  (``trainer.py:392-404``); val metrics are accuracy / balanced accuracy / macro-F1
+  (``trainer.py:342-353``), computed here from an on-device confusion matrix.
+- Both expose ``best_metric`` — fixing quirk Q3, where the reference crashes on
+  ``trainer.best_metric`` after pretraining (``main.py:108`` vs ``trainer.py:72``).
+- True ``resume()`` support: the reference has the machinery but no caller
+  (SURVEY.md §5.4); here ``fit(resume=True)`` restores ``last`` and continues.
+
+The loops are host-side epoch drivers over jitted steps; there is no per-step ``.item()``
+sync — losses are accumulated as device scalars and materialized once per epoch.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..eval.metrics import confusion_update, init_confusion, metrics_from_confusion
+from . import checkpoint as ckpt
+from .steps import TrainState
+
+
+class EarlyStopper:
+    """Patience-based early stopping; ``mode`` in {"min", "max"}.
+
+    ``min_delta`` is honored (the reference declares it, ``configs/config.py:126``, but
+    never applies it — we do).
+    """
+
+    def __init__(self, patience: int, mode: str = "min", min_delta: float = 0.0):
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.counter = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if ``value`` is a new best."""
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best - self.min_delta)
+            or (self.mode == "max" and value > self.best + self.min_delta)
+        )
+        if improved:
+            self.best = value
+            self.counter = 0
+        else:
+            self.counter += 1
+        return improved
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience
+
+
+class BaseTrainer:
+    """Shared checkpoint/history plumbing (reference ``BaseTrainer``, ``trainer.py:29-56``)."""
+
+    def __init__(self, config, state: TrainState, save_dir, rng):
+        self.config = config
+        self.state = state
+        self.save_dir = Path(save_dir)
+        self.rng = rng
+        self.current_epoch = 0
+        self.history: Dict[str, list] = {"train": [], "val": []}
+        self.verbose = True
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg, flush=True)
+
+    def _save(self, name: str, best_key: str, best_value: float) -> None:
+        ckpt.save_checkpoint(
+            self.save_dir / name,
+            self.state,
+            extra={
+                "epoch": self.current_epoch,
+                "history": self.history,
+                best_key: best_value,
+            },
+        )
+
+    def resume(self, name: str = "last") -> bool:
+        """Restore state/epoch/history from a checkpoint; returns True if found."""
+        path = self.save_dir / name
+        if not ckpt.checkpoint_exists(path):
+            return False
+        self.state, extra = ckpt.restore_checkpoint(path, self.state)
+        self.current_epoch = int(extra.get("epoch", 0)) + 1
+        self.history = extra.get("history", {"train": [], "val": []})
+        return True
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _dump_history(self) -> None:
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        with open(self.save_dir / "training_history.json", "w") as f:
+            json.dump(self.history, f, indent=2)
+
+
+class CrossModalTrainer(BaseTrainer):
+    """Contrastive pretraining driver (reference ``CrossModalTrainer``)."""
+
+    def __init__(self, config, state, train_step, eval_step, save_dir, rng):
+        super().__init__(config, state, save_dir, rng)
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.best_val_loss = float("inf")
+
+    @property
+    def best_metric(self) -> float:
+        return self.best_val_loss
+
+    def train_epoch(self, loader) -> float:
+        losses = []
+        for batch in loader:
+            self.state, metrics = self.train_step(self.state, batch, self._next_rng())
+            losses.append(metrics["loss"])
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+    def validate(self, loader) -> float:
+        losses = []
+        for batch in loader:
+            losses.append(self.eval_step(self.state, batch)["loss"])
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+    def fit(self, train_loader, val_loader, *, resume: bool = False) -> TrainState:
+        t = self.config.training
+        if resume:
+            self.resume()
+        stopper = EarlyStopper(int(t.patience), "min", float(t.min_delta))
+        stopper.best = self.best_val_loss if self.best_val_loss < float("inf") else None
+
+        for epoch in range(self.current_epoch, int(t.pretrain_epochs)):
+            self.current_epoch = epoch
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            t0 = time.perf_counter()
+            train_loss = self.train_epoch(train_loader)
+            val_loss = self.validate(val_loader)
+            dt = time.perf_counter() - t0
+            self.history["train"].append(train_loss)
+            self.history["val"].append(val_loss)
+            self._log(
+                f"[Pretrain] epoch={epoch} train_loss={train_loss:.4f} "
+                f"val_loss={val_loss:.4f} ({dt:.1f}s)"
+            )
+
+            improved = stopper.update(val_loss)
+            if improved:
+                self.best_val_loss = val_loss
+            self._save("last", "best_val_loss", self.best_val_loss)
+            if improved and bool(t.save_best_only):
+                self._save("best_model", "best_val_loss", self.best_val_loss)
+            if (epoch + 1) % int(t.save_every) == 0:
+                self._save(f"checkpoint_epoch_{epoch}", "best_val_loss", self.best_val_loss)
+            if stopper.should_stop:
+                self._log(f"[Pretrain] Early stopping at epoch {epoch}")
+                break
+
+        self._dump_history()
+        return self.state
+
+
+class ClassificationTrainer(BaseTrainer):
+    """IMU classification driver (reference ``ClassificationTrainer``)."""
+
+    def __init__(self, config, state, train_step, predict_step, save_dir, rng, mode):
+        super().__init__(config, state, save_dir, rng)
+        assert mode in ("linear_probe", "finetune")
+        self.mode = mode
+        self.train_step = train_step
+        self.predict_step = predict_step
+        self.best_bal_acc = 0.0
+        self.num_classes = config.model.num_classes
+
+    @property
+    def best_metric(self) -> float:
+        return self.best_bal_acc
+
+    def train_epoch(self, loader) -> Dict[str, float]:
+        losses, accs = [], []
+        for batch in loader:
+            self.state, m = self.train_step(self.state, batch, self._next_rng())
+            losses.append(m["loss"])
+            accs.append(m["accuracy"])
+        if not losses:
+            return {"loss": 0.0, "accuracy": 0.0}
+        return {
+            "loss": float(np.mean(jax.device_get(losses))),
+            "accuracy": float(np.mean(jax.device_get(accs))),
+        }
+
+    def validate(self, loader) -> Dict[str, float]:
+        cm = init_confusion(self.num_classes)
+        loss_sum, n = 0.0, 0
+        for batch in loader:
+            out = self.predict_step(self.state, batch)
+            cm = confusion_update(cm, batch["label"], out["preds"], out["valid"])
+            loss_sum += float(out["loss_sum"])
+            n += int(batch["n_valid"])
+        metrics = metrics_from_confusion(cm)
+        metrics["loss"] = loss_sum / max(n, 1)
+        return metrics
+
+    def fit(self, train_loader, val_loader, *, resume: bool = False) -> TrainState:
+        t = self.config.training
+        if resume:
+            self.resume()
+        stopper = EarlyStopper(int(t.patience), "max")
+        stopper.best = self.best_bal_acc if self.best_bal_acc > 0 else None
+
+        for epoch in range(self.current_epoch, int(t.train_epochs)):
+            self.current_epoch = epoch
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            train_metrics = self.train_epoch(train_loader)
+            val_metrics = self.validate(val_loader)
+            self.history["train"].append(train_metrics)
+            self.history["val"].append(val_metrics)
+            self._log(
+                f"[Cls:{self.mode}] epoch={epoch} "
+                f"train_loss={train_metrics['loss']:.4f} "
+                f"train_acc={train_metrics['accuracy']:.2f}% | "
+                f"val_loss={val_metrics['loss']:.4f} "
+                f"val_bal_acc={val_metrics['balanced_accuracy']:.2f}% "
+                f"val_f1={val_metrics['f1_macro']:.2f}%"
+            )
+
+            improved = stopper.update(val_metrics["balanced_accuracy"])
+            if improved:
+                self.best_bal_acc = float(val_metrics["balanced_accuracy"])
+            self._save("last", "best_balanced_accuracy", self.best_bal_acc)
+            if improved:
+                self._save("best_model", "best_balanced_accuracy", self.best_bal_acc)
+            if stopper.should_stop:
+                self._log(f"[Cls:{self.mode}] Early stopping at epoch {epoch}")
+                break
+
+        self._dump_history()
+        return self.state
