@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests on the synthetic fixture: pretrain → classify →
+few-shot → OOD → report, exercising the CLI surface."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+
+def _shrink(cfg):
+    """CI-sized model/training settings."""
+    cfg.model.imu_num_layers = 1
+    cfg.model.imu_d_model = 32
+    cfg.model.imu_nhead = 4
+    cfg.model.classifier_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.model.video_d_model = 48
+    cfg.model.projection_dim = 16
+    cfg.model.projection_hidden_dim = 32
+    cfg.data.video_frames_per_window = 4
+    cfg.training.pretrain_epochs = 2
+    cfg.training.train_epochs = 2
+    cfg.training.pretrain_batch_size = 4
+    cfg.training.train_batch_size = 8
+    cfg.eval.few_shot_samples = [2]
+    cfg.eval.few_shot_runs = 1
+    cfg.ood.leave_out_classes = [0]
+    return cfg
+
+
+@pytest.fixture()
+def pipeline(synthetic_config):
+    from tpuhar.cli import Pipeline
+
+    return Pipeline(_shrink(synthetic_config))
+
+
+def test_full_pipeline(pipeline):
+    """One pass through every stage; checks each stage's artifact contract."""
+    cfg = pipeline.config
+    results_dir = Path(cfg.paths.results_dir)
+
+    # preprocess
+    dfs = pipeline.run_preprocessing()
+    assert (Path(cfg.paths.preprocessed_dir) / "train_metadata.csv").exists()
+    assert len(dfs["train"]) > 0
+
+    # pretrain
+    trainer = pipeline.run_pretraining()
+    assert np.isfinite(trainer.best_metric)
+    assert (results_dir / "pretraining_curves.png").exists()
+    assert (
+        Path(cfg.paths.checkpoints_dir) / "cross_modal" / "best_model.msgpack"
+    ).exists()
+    assert (Path(cfg.paths.checkpoints_dir) / "final_model_params.msgpack").exists()
+    hist = json.loads(
+        (Path(cfg.paths.checkpoints_dir) / "cross_modal" / "training_history.json").read_text()
+    )
+    assert len(hist["train"]) == cfg.training.pretrain_epochs
+
+    # classification (both modes)
+    comparison = pipeline.run_classification("both")
+    assert set(comparison.index) == {"linear_probe", "finetune"}
+    assert (results_dir / "classification_comparison.csv").exists()
+    assert (results_dir / "confusion_linear_probe.png").exists()
+    logits = np.load(results_dir / "test_logits_finetune.npy")
+    assert logits.shape[1] == cfg.model.num_classes
+
+    # few-shot
+    raw = pipeline.run_evaluation()
+    assert set(raw.columns) >= {
+        "experiment", "n_samples", "run", "mode", "balanced_accuracy",
+    }
+    assert len(raw) == 1 * 1 * 2  # samples × runs × modes
+    assert (results_dir / "fewshot_results_raw.csv").exists()
+    assert (results_dir / "fewshot_results_agg.csv").exists()
+
+    # ood
+    ood = pipeline.run_ood()
+    assert len(ood) == len(cfg.ood.scores)
+    assert (results_dir / "ood_results.csv").exists()
+    assert ood["auroc"].notna().all()
+
+    # report
+    report = pipeline.generate_final_report()
+    assert (results_dir / "final_report.json").exists()
+    assert "classification" in report
+    assert "few_shot" in report
+    assert (results_dir / "table3_fewshot.csv").exists()
+
+
+def test_run_all_skips_existing(pipeline, capsys):
+    cfg = pipeline.config
+    pipeline.run_preprocessing()
+    # fake a pretraining checkpoint so run_all skips pretraining
+    from tpuhar.train import checkpoint as ckpt
+    from tpuhar.train.factory import build_crossmodal_task
+
+    task = build_crossmodal_task(cfg, 1, jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(
+        Path(cfg.paths.checkpoints_dir) / "cross_modal" / "best_model",
+        task.state,
+        extra={"epoch": 0},
+    )
+    cfg.ood.enabled = False
+    cfg.eval.few_shot_samples = [2]
+    pipeline.run_all(classify_mode="linear_probe")
+    out = capsys.readouterr().out
+    assert "preprocessing artifacts found — skipping" in out
+    assert "pretraining checkpoint found — skipping" in out
+
+
+def test_cli_overrides_and_config_roundtrip(tmp_path):
+    from tpuhar.cli import main as cli_main
+    from tpuhar.config import Config
+
+    cfg = Config()
+    cfg.paths.base_output = tmp_path / "out"
+    cfg.paths.__post_init__()
+    p = tmp_path / "cfg.json"
+    cfg.save(p)
+    # `--mode report` is cheap and exercises config load + override plumbing
+    cli_main(
+        [
+            "--mode", "report",
+            "--config", str(p),
+            "--set", "training.seed=7",
+        ]
+    )
+    assert (tmp_path / "out" / "results" / "final_report.json").exists()

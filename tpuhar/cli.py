@@ -1,0 +1,326 @@
+"""Pipeline orchestrator + CLI: preprocess → pretrain → classify → evaluate (+ ood).
+
+Mirrors the reference's ``main.py`` surface (``main.py:37-374``): a ``Pipeline`` class
+with ``run_preprocessing / run_pretraining / run_classification / run_evaluation /
+run_all / generate_final_report`` and an argparse CLI with ``--mode
+{preprocess,pretrain,classify,evaluate,all}`` and ``--classify-mode
+{linear_probe,finetune,both}``.  Additions beyond the reference: ``--mode ood``
+(north-star leave-one-activity-out scoring), ``--mode report`` (tables only),
+``--resume`` (the reference ships resume machinery nothing calls, SURVEY §5.4),
+``--config`` (JSON load that actually works), and ``--set section.key=value``
+overrides.
+
+Artifacts keep the reference's names/locations: ``results/pretraining_curves.png``
+(``main.py:103-106``), ``classification_comparison.csv`` (``:199-206``),
+``fewshot_results_{raw,agg}.csv`` (``:269-270``), ``final_report.json`` (``:335-339``).
+Stage-skip logic in ``run_all`` matches ``main.py:280-288``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from .config import CONFIG, Config
+from .data.loader import create_dataloaders
+from .data.preprocess import Preprocessor
+from .eval.evaluator import Evaluator, FewShotEvaluator, save_results_table
+from .ood import OODEvaluator
+from .report import plots
+from .report.tables import create_article_tables_from_results
+from .train import checkpoint as ckpt
+from .train.factory import (
+    build_classification_task,
+    build_crossmodal_task,
+)
+from .train.loop import ClassificationTrainer, CrossModalTrainer
+from .utils import check_dataset_paths, describe_devices, set_seed
+
+
+class Pipeline:
+    """Stage sequencing over the TPU-native stack (reference ``Pipeline``, ``main.py:37``)."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or CONFIG
+        self.config.paths.ensure_dirs()
+        self.root_key = set_seed(self.config.training.seed)
+        print(f"[Pipeline] devices: {describe_devices()}")
+        status = check_dataset_paths(self.config)
+        if not status["ok"]:
+            print(f"[Pipeline] dataset path check: {status}")
+
+    # -- helpers --------------------------------------------------------------------
+    def _metadata(self, split: str) -> pd.DataFrame:
+        path = Path(self.config.paths.preprocessed_dir) / f"{split}_metadata.csv"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"Missing {path}; run `--mode preprocess` first."
+            )
+        return pd.read_csv(path)
+
+    def _next_key(self):
+        self.root_key, sub = jax.random.split(self.root_key)
+        return sub
+
+    def _load_pretrained_encoder(self):
+        """Load the best cross-modal checkpoint and extract the IMU-encoder subtree."""
+        best = Path(self.config.paths.checkpoints_dir) / "cross_modal" / "best_model"
+        if not ckpt.checkpoint_exists(best):
+            return None, None
+        task = build_crossmodal_task(self.config, 1, self._next_key())
+        state, _ = ckpt.restore_checkpoint(best, task.state)
+        enc_params = state.params["imu_encoder"]
+        enc_bs = dict(state.batch_stats or {}).get("imu_encoder")
+        return enc_params, enc_bs
+
+    # -- stages ---------------------------------------------------------------------
+    def run_preprocessing(self) -> Dict[str, pd.DataFrame]:
+        print("\n=== Stage: preprocessing ===")
+        return Preprocessor(self.config).run_full_preprocessing()
+
+    def run_pretraining(self, resume: bool = False):
+        print("\n=== Stage: cross-modal pretraining ===")
+        cfg = self.config
+        train_df, val_df, test_df = (
+            self._metadata("train"), self._metadata("val"), self._metadata("test")
+        )
+        loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="cross_modal")
+        spe = max(len(loaders["train"]), 1)
+        task = build_crossmodal_task(cfg, spe, self._next_key())
+
+        trainer = CrossModalTrainer(
+            cfg, task.state, task.train_step, task.eval_step,
+            Path(cfg.paths.checkpoints_dir) / "cross_modal", self._next_key(),
+        )
+        task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
+
+        plots.plot_training_curves(
+            trainer.history,
+            Path(cfg.paths.results_dir) / "pretraining_curves.png",
+            title="Cross-modal pretraining",
+        )
+        # Works, unlike the reference (quirk Q3: main.py:108 crashes on best_metric).
+        print(f"[Pretrain] best val loss: {trainer.best_metric:.4f}")
+        ckpt.save_params(
+            Path(cfg.paths.checkpoints_dir) / "final_model_params.msgpack",
+            task.state.params,
+        )
+        return trainer
+
+    def run_classification(self, classify_mode: str = "both", resume: bool = False):
+        print("\n=== Stage: IMU classification ===")
+        cfg = self.config
+        train_df, val_df, test_df = (
+            self._metadata("train"), self._metadata("val"), self._metadata("test")
+        )
+        enc_params, enc_bs = self._load_pretrained_encoder()
+        if enc_params is None:
+            print("[Classify] no pretrained encoder found — training from scratch")
+
+        modes = (
+            ["linear_probe", "finetune"] if classify_mode == "both" else [classify_mode]
+        )
+        comparison = {}
+        for mode in modes:
+            print(f"\n--- {mode} ---")
+            loaders = create_dataloaders(
+                cfg, train_df, val_df, test_df, mode="classification"
+            )
+            spe = max(len(loaders["train"]), 1)
+            task = build_classification_task(
+                cfg, mode, spe, self._next_key(),
+                encoder_params=enc_params, encoder_batch_stats=enc_bs,
+            )
+            trainer = ClassificationTrainer(
+                cfg, task.state, task.train_step, task.eval_step,
+                Path(cfg.paths.checkpoints_dir) / f"classifier_{mode}",
+                self._next_key(), mode,
+            )
+            task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
+
+            best = trainer.save_dir / "best_model"
+            if ckpt.checkpoint_exists(best):
+                task.state, _ = ckpt.restore_checkpoint(best, task.state)
+            result = Evaluator(task, cfg).evaluate(loaders["test"])
+            comparison[mode] = result["metrics"]
+            print(
+                f"[Classify:{mode}] test bal_acc="
+                f"{result['metrics']['balanced_accuracy']:.2f}"
+            )
+            plots.plot_confusion_matrix(
+                result["labels"], result["predictions"], cfg.model.num_classes,
+                save_path=Path(cfg.paths.results_dir) / f"confusion_{mode}.png",
+            )
+            np.save(
+                Path(cfg.paths.results_dir) / f"test_logits_{mode}.npy",
+                result["logits"],
+            )
+
+        df = pd.DataFrame(comparison).T
+        df.to_csv(Path(cfg.paths.results_dir) / "classification_comparison.csv")
+        print(f"\n{df}")
+        return df
+
+    def run_evaluation(self) -> pd.DataFrame:
+        print("\n=== Stage: few-shot evaluation ===")
+        cfg = self.config
+        train_df, test_df = self._metadata("train"), self._metadata("test")
+        try:
+            val_df = self._metadata("val")
+        except FileNotFoundError:
+            val_df = None
+        enc_params, _ = self._load_pretrained_encoder()
+        if enc_params is None:
+            print("[FewShot] no pretrained encoder — using random init")
+
+        evaluator = FewShotEvaluator(cfg, self._next_key())
+        raw = evaluator.run_few_shot_experiments(
+            enc_params, train_df, test_df, val_df, experiment_name="cross_modal"
+        )
+        agg = evaluator.aggregate_results(raw)
+        results_dir = Path(cfg.paths.results_dir)
+        raw.to_csv(results_dir / "fewshot_results_raw.csv", index=False)
+        agg.to_csv(results_dir / "fewshot_results_agg.csv", index=False)
+        table = evaluator.create_comparison_table({"cross_modal": raw})
+        save_results_table(table, results_dir / "fewshot_table3.csv")
+        print(f"\n{table}")
+        return raw
+
+    def run_ood(self) -> pd.DataFrame:
+        print("\n=== Stage: OOD leave-one-activity-out ===")
+        cfg = self.config
+        train_df, val_df, test_df = (
+            self._metadata("train"), self._metadata("val"), self._metadata("test")
+        )
+        enc_params, _ = self._load_pretrained_encoder()
+        evaluator = OODEvaluator(cfg, self._next_key())
+        results = evaluator.run_loo_experiments(
+            train_df, val_df, test_df, encoder_params=enc_params
+        )
+        results_dir = Path(cfg.paths.results_dir)
+        results.to_csv(results_dir / "ood_results.csv", index=False)
+        if len(results):
+            agg = OODEvaluator.aggregate(results)
+            agg.to_csv(results_dir / "ood_results_agg.csv")
+            print(f"\n{agg}")
+        return results
+
+    def run_all(self, classify_mode: str = "both", resume: bool = False):
+        """Run every stage, skipping those whose artifacts exist (``main.py:280-288``)."""
+        cfg = self.config
+        t0 = time.time()
+        if not (Path(cfg.paths.preprocessed_dir) / "train_metadata.csv").exists():
+            self.run_preprocessing()
+        else:
+            print("[run_all] preprocessing artifacts found — skipping")
+        if not ckpt.checkpoint_exists(
+            Path(cfg.paths.checkpoints_dir) / "cross_modal" / "best_model"
+        ):
+            self.run_pretraining(resume=resume)
+        else:
+            print("[run_all] pretraining checkpoint found — skipping")
+        self.run_classification(classify_mode, resume=resume)
+        self.run_evaluation()
+        if cfg.ood.enabled:
+            self.run_ood()
+        self.generate_final_report()
+        print(f"[run_all] total {time.time() - t0:.0f}s")
+
+    def generate_final_report(self) -> Dict:
+        """Assemble ``final_report.json`` from stage artifacts (``main.py:299-339``)."""
+        cfg = self.config
+        results_dir = Path(cfg.paths.results_dir)
+        report: Dict = {
+            "config": cfg.to_dict(),
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        try:
+            comp = results_dir / "classification_comparison.csv"
+            if comp.exists():
+                report["classification"] = (
+                    pd.read_csv(comp, index_col=0).to_dict(orient="index")
+                )
+        except Exception as e:
+            report["classification_error"] = str(e)
+        try:
+            agg = results_dir / "fewshot_results_agg.csv"
+            if agg.exists():
+                report["few_shot"] = pd.read_csv(agg).to_dict(orient="records")
+        except Exception as e:
+            report["few_shot_error"] = str(e)
+        try:
+            oodp = results_dir / "ood_results_agg.csv"
+            if oodp.exists():
+                report["ood"] = pd.read_csv(oodp).to_dict(orient="records")
+        except Exception as e:
+            report["ood_error"] = str(e)
+        try:
+            hist = (
+                Path(cfg.paths.checkpoints_dir) / "cross_modal" / "training_history.json"
+            )
+            if hist.exists():
+                report["pretraining_history"] = json.loads(hist.read_text())
+        except Exception as e:
+            report["pretraining_error"] = str(e)
+
+        out = results_dir / "final_report.json"
+        out.write_text(json.dumps(report, indent=2, default=str))
+        print(f"[Report] {out}")
+        create_article_tables_from_results(results_dir)
+        return report
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native cross-modal IMU-video HAR pipeline"
+    )
+    parser.add_argument(
+        "--mode",
+        choices=["preprocess", "pretrain", "classify", "evaluate", "ood", "report", "all"],
+        default="all",
+    )
+    parser.add_argument(
+        "--classify-mode",
+        choices=["linear_probe", "finetune", "both"],
+        default="both",
+    )
+    parser.add_argument("--config", type=str, default=None, help="JSON config to load")
+    parser.add_argument(
+        "--resume", action="store_true", help="resume interrupted training from last"
+    )
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="config override, e.g. --set training.pretrain_epochs=3",
+    )
+    args = parser.parse_args(argv)
+
+    config = Config.load(args.config) if args.config else CONFIG
+    for override in args.set:
+        key, value = override.split("=", 1)
+        config.override(key, value)
+
+    pipeline = Pipeline(config)
+    if args.mode == "preprocess":
+        pipeline.run_preprocessing()
+    elif args.mode == "pretrain":
+        pipeline.run_pretraining(resume=args.resume)
+    elif args.mode == "classify":
+        pipeline.run_classification(args.classify_mode, resume=args.resume)
+    elif args.mode == "evaluate":
+        pipeline.run_evaluation()
+    elif args.mode == "ood":
+        pipeline.run_ood()
+    elif args.mode == "report":
+        pipeline.generate_final_report()
+    else:
+        pipeline.run_all(args.classify_mode, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Out-of-distribution scoring: MSP, energy, Mahalanobis — plus leave-one-activity-out
+evaluation harness.
+
+This is north-star capability (BASELINE.json: "OOD eval: MSP/energy/Mahalanobis scores,
+leave-one-activity-out splits"); the reference repo's name promises OOD but contains no
+OOD code anywhere (SURVEY.md §7 scope note).
+
+Conventions:
+- Every scorer returns an **OOD score**: higher = more likely out-of-distribution.
+- AUROC treats OOD as the positive class.
+- Scores are computed on-device from the jitted predict step's ``logits`` and
+  ``embeddings`` outputs, so serving-time OOD adds one tiny fused op to the program.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .eval.metrics import auroc
+
+
+# ---------------------------------------------------------------------------------
+# Scores
+# ---------------------------------------------------------------------------------
+def msp_score(logits: jax.Array) -> jax.Array:
+    """Maximum-softmax-probability OOD score: ``1 - max_c p(c|x)``."""
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return 1.0 - jnp.max(p, axis=-1)
+
+
+def energy_score(logits: jax.Array, temperature: float = 1.0) -> jax.Array:
+    """Energy OOD score: ``-T · logsumexp(logits/T)`` (higher energy = more OOD)."""
+    t = float(temperature)
+    return -t * jax.nn.logsumexp(logits.astype(jnp.float32) / t, axis=-1)
+
+
+@dataclass
+class MahalanobisScorer:
+    """Class-conditional Gaussian with shared covariance over ID embeddings.
+
+    ``fit`` estimates per-class means and a tied covariance (+ eps·I for conditioning);
+    ``score`` returns the minimum squared Mahalanobis distance to any class mean.
+    """
+
+    means: jax.Array  # (C, D)
+    precision: jax.Array  # (D, D)
+
+    @classmethod
+    def fit(
+        cls, embeddings, labels, num_classes: int, eps: float = 1e-3
+    ) -> "MahalanobisScorer":
+        x = jnp.asarray(embeddings, jnp.float32)
+        y = jnp.asarray(labels)
+        D = x.shape[-1]
+        one_hot = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)  # (N, C)
+        counts = jnp.maximum(one_hot.sum(0), 1.0)  # (C,)
+        means = (one_hot.T @ x) / counts[:, None]  # (C, D)
+        centered = x - means[y]  # (N, D)
+        cov = (centered.T @ centered) / jnp.maximum(x.shape[0], 1)
+        cov = cov + eps * jnp.trace(cov) / D * jnp.eye(D) + 1e-6 * jnp.eye(D)
+        precision = jnp.linalg.inv(cov)
+        return cls(means=means, precision=precision)
+
+    def score(self, embeddings) -> jax.Array:
+        x = jnp.asarray(embeddings, jnp.float32)
+        diff = x[:, None, :] - self.means[None, :, :]  # (N, C, D)
+        md = jnp.einsum("ncd,de,nce->nc", diff, self.precision, diff)
+        return jnp.min(md, axis=-1)
+
+
+def compute_ood_scores(
+    logits,
+    embeddings=None,
+    *,
+    mahalanobis: Optional[MahalanobisScorer] = None,
+    energy_temperature: float = 1.0,
+    scores: Optional[List[str]] = None,
+) -> Dict[str, np.ndarray]:
+    """All requested OOD scores for a batch of predictions."""
+    scores = scores or ["msp", "energy", "mahalanobis"]
+    out: Dict[str, np.ndarray] = {}
+    if "msp" in scores:
+        out["msp"] = np.asarray(msp_score(jnp.asarray(logits)))
+    if "energy" in scores:
+        out["energy"] = np.asarray(
+            energy_score(jnp.asarray(logits), energy_temperature)
+        )
+    if "mahalanobis" in scores and mahalanobis is not None and embeddings is not None:
+        out["mahalanobis"] = np.asarray(mahalanobis.score(embeddings))
+    return out
+
+
+def fpr_at_tpr(ood_scores, is_ood, tpr: float = 0.95) -> float:
+    """False-positive rate at the threshold achieving ``tpr`` true-positive rate
+    (OOD = positive).  Standard OOD benchmark companion to AUROC."""
+    s = np.asarray(ood_scores, dtype=np.float64)
+    pos = np.asarray(is_ood).astype(bool)
+    if pos.sum() == 0 or (~pos).sum() == 0:
+        return float("nan")
+    thresh = np.quantile(s[pos], 1.0 - tpr)
+    return float((s[~pos] >= thresh).mean())
+
+
+# ---------------------------------------------------------------------------------
+# Leave-one-activity-out harness
+# ---------------------------------------------------------------------------------
+def leave_one_out_split(df: pd.DataFrame, held_out_class: int):
+    """Partition a manifest into ID (label != c, labels remapped to 0..C-2) and OOD rows.
+
+    Returns ``(id_df_with_remapped_labels, ood_df, remap_dict)``.
+    """
+    id_df = df[df["label"] != held_out_class].copy()
+    ood_df = df[df["label"] == held_out_class].copy()
+    kept = sorted(id_df["label"].unique())
+    remap = {old: new for new, old in enumerate(kept)}
+    id_df["label"] = id_df["label"].map(remap)
+    return id_df, ood_df, remap
+
+
+class OODEvaluator:
+    """Leave-one-activity-out OOD evaluation.
+
+    For each held-out class: train an IMU classifier on the remaining classes, collect
+    logits/embeddings on ID-test and OOD windows, fit Mahalanobis on ID-train
+    embeddings, and report AUROC + FPR@95 for each score.
+    """
+
+    def __init__(self, config, rng=None):
+        self.config = config
+        self.rng = rng if rng is not None else jax.random.PRNGKey(config.training.seed)
+
+    def run_loo_experiments(
+        self,
+        train_df: pd.DataFrame,
+        val_df: pd.DataFrame,
+        test_df: pd.DataFrame,
+        classes: Optional[List[int]] = None,
+        encoder_params=None,
+        verbose: bool = True,
+    ) -> pd.DataFrame:
+        from .data.loader import BatchLoader
+        from .eval.evaluator import Evaluator
+        from .train.factory import build_classification_task
+        from .train.loop import ClassificationTrainer
+
+        cfg = self.config
+        classes = classes or list(cfg.ood.leave_out_classes) or sorted(
+            train_df["label"].unique()
+        )
+        score_names = list(cfg.ood.scores)
+        rows = []
+
+        for c in classes:
+            id_train, _, remap = leave_one_out_split(train_df, c)
+            id_val, _, _ = leave_one_out_split(val_df, c)
+            id_test, ood_test, _ = leave_one_out_split(test_df, c)
+            if len(ood_test) == 0 or len(id_train) == 0:
+                continue
+
+            # temporarily shrink the label space
+            import copy
+
+            loo_cfg = copy.deepcopy(cfg)
+            loo_cfg.model.num_classes = len(remap)
+
+            self.rng, init_rng, fit_rng = jax.random.split(self.rng, 3)
+            bs = min(loo_cfg.training.train_batch_size, max(len(id_train), 1))
+            spe = max(len(id_train) // bs, 1)
+            task = build_classification_task(
+                loo_cfg, "finetune", spe, init_rng,
+                encoder_params=encoder_params, batch_size=bs,
+            )
+            trainer = ClassificationTrainer(
+                loo_cfg, task.state, task.train_step, task.eval_step,
+                Path(loo_cfg.paths.checkpoints_dir) / f"ood_loo_{c}", fit_rng, "finetune",
+            )
+            trainer.verbose = False
+            task.state = trainer.fit(
+                BatchLoader(
+                    id_train, loo_cfg, mode="classification", batch_size=bs,
+                    shuffle=True, drop_last=True, seed=int(c), prefetch=0,
+                ),
+                BatchLoader(id_val, loo_cfg, mode="classification", prefetch=0),
+            )
+
+            ev = Evaluator(task, loo_cfg)
+            id_out = ev.evaluate(
+                BatchLoader(id_test, loo_cfg, mode="classification", prefetch=0)
+            )
+            ood_out = ev.evaluate(
+                BatchLoader(ood_test, loo_cfg, mode="classification", prefetch=0)
+            )
+            tr_out = ev.evaluate(
+                BatchLoader(id_train, loo_cfg, mode="classification", prefetch=0)
+            )
+
+            maha = None
+            if "mahalanobis" in score_names:
+                maha = MahalanobisScorer.fit(
+                    tr_out["embeddings"], tr_out["labels"], loo_cfg.model.num_classes
+                )
+            id_scores = compute_ood_scores(
+                id_out["logits"], id_out["embeddings"], mahalanobis=maha,
+                energy_temperature=cfg.ood.energy_temperature, scores=score_names,
+            )
+            ood_scores = compute_ood_scores(
+                ood_out["logits"], ood_out["embeddings"], mahalanobis=maha,
+                energy_temperature=cfg.ood.energy_temperature, scores=score_names,
+            )
+
+            for name in id_scores:
+                s = np.concatenate([id_scores[name], ood_scores[name]])
+                is_ood = np.concatenate(
+                    [np.zeros(len(id_scores[name])), np.ones(len(ood_scores[name]))]
+                )
+                rows.append(
+                    {
+                        "held_out_class": c,
+                        "score": name,
+                        "auroc": auroc(s, is_ood),
+                        "fpr_at_95tpr": fpr_at_tpr(s, is_ood),
+                        "id_accuracy": id_out["metrics"]["accuracy"],
+                        "n_id": int(len(id_scores[name])),
+                        "n_ood": int(len(ood_scores[name])),
+                    }
+                )
+            if verbose:
+                got = {r["score"]: round(r["auroc"], 3) for r in rows[-len(id_scores):]}
+                print(f"[OOD] held-out class {c}: AUROC {got}", flush=True)
+
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def aggregate(results_df: pd.DataFrame) -> pd.DataFrame:
+        """Mean AUROC/FPR per score across held-out classes."""
+        return (
+            results_df.groupby("score")[["auroc", "fpr_at_95tpr", "id_accuracy"]]
+            .agg(["mean", "std"])
+        )

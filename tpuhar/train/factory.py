@@ -1,0 +1,109 @@
+"""Task factories: assemble model + state + jitted steps + trainer for each stage.
+
+The reference wires these ad hoc inside ``main.py`` / ``evaluator.py``; centralizing the
+assembly keeps encoder transplanting (pretrained cross-modal → classifier) explicit and
+pure: parameters are PyTrees, so "loading the pretrained encoder" is a dict graft, with
+no ``module.``-prefix surgery (``main.py:159-162``) and no shared-object mutation
+(quirk Q5 — the reference reuses one encoder object across all 40 few-shot runs).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.crossmodal import CrossModalModel, FusionClassifier, IMUClassifier
+from .optim import make_classification_optimizer, make_pretrain_optimizer
+from .steps import (
+    TrainState,
+    init_state,
+    make_classification_steps,
+    make_crossmodal_steps,
+    make_fusion_steps,
+)
+
+
+@dataclass
+class Task:
+    model: Any
+    state: TrainState
+    train_step: Callable
+    eval_step: Callable  # predict_step for classification/fusion
+
+
+def _graft(params, key: str, subtree):
+    """Replace ``params[key]`` with ``subtree`` (pure; no shared mutation)."""
+    out = dict(params)
+    out[key] = subtree
+    return out
+
+
+def example_imu(config, batch: Optional[int] = None):
+    d = config.data
+    b = batch or config.training.train_batch_size
+    return jnp.zeros((b, d.imu_channels, d.imu_window_size), jnp.float32)
+
+
+def example_video(config, batch: Optional[int] = None):
+    d = config.data
+    b = batch or config.training.pretrain_batch_size
+    H, W = d.video_resize
+    return jnp.zeros((b, d.video_frames_per_window, H, W, 3), jnp.uint8)
+
+
+def build_crossmodal_task(config, steps_per_epoch: int, rng) -> Task:
+    model = CrossModalModel(config)
+    b = config.training.pretrain_batch_size
+    imu, video = example_imu(config, b), example_video(config, b)
+    # init consumes normalized float video; shape is what matters
+    tx = make_pretrain_optimizer(config, steps_per_epoch)
+    state = init_state(model, tx, rng, imu, video.astype(jnp.float32))
+    train_step, eval_step = make_crossmodal_steps(model, config)
+    return Task(model, state, train_step, eval_step)
+
+
+def build_classification_task(
+    config,
+    mode: str,
+    steps_per_epoch: int,
+    rng,
+    *,
+    encoder_params=None,
+    encoder_batch_stats=None,
+    batch_size: Optional[int] = None,
+) -> Task:
+    """Build a probe/finetune classifier, optionally grafting a pretrained IMU encoder."""
+    model = IMUClassifier(config, freeze_encoder=(mode == "linear_probe"))
+    imu = example_imu(config, batch_size)
+    variables = model.init(rng, imu)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if encoder_params is not None:
+        params = _graft(params, "imu_encoder", encoder_params)
+    if encoder_batch_stats is not None and "imu_encoder" in dict(batch_stats or {}):
+        batch_stats = _graft(batch_stats, "imu_encoder", encoder_batch_stats)
+    tx = make_classification_optimizer(config, steps_per_epoch, mode, params)
+    state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx)
+    train_step, predict_step = make_classification_steps(model, config)
+    return Task(model, state, train_step, predict_step)
+
+
+def build_fusion_task(
+    config, steps_per_epoch: int, rng, *, encoder_params=None, batch_size: Optional[int] = None
+) -> Task:
+    """North-star fusion classifier; ``encoder_params`` grafts a pretrained IMU encoder."""
+    b = batch_size or config.training.pretrain_batch_size
+    model = FusionClassifier(config)
+    imu, video = example_imu(config, b), example_video(config, b)
+    variables = model.init(rng, imu, video.astype(jnp.float32))
+    params = variables["params"]
+    if encoder_params is not None:
+        params = _graft(params, "imu_encoder", encoder_params)
+    tx = make_classification_optimizer(config, steps_per_epoch, "finetune", params)
+    state = TrainState.create(
+        params=params, batch_stats=variables.get("batch_stats", {}), tx=tx
+    )
+    train_step, predict_step = make_fusion_steps(model, config)
+    return Task(model, state, train_step, predict_step)
