@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: fused IMU-window + 16-frame-clip inference throughput per chip.
+
+North-star metric (BASELINE.json): ≥5,000 fused inferences/sec/chip on TPU v5e at
+OOD-AUROC parity.  One inference = one raw 250×6 IMU window (raw counts) plus one
+16-frame 224×224 uint8 clip, through on-device featurization (unit conversion,
+median filter, z-score), ImageNet normalization, the ResNet-18 + IMU-transformer
+cross-attention fusion classifier (bf16 MXU compute), and MSP/energy OOD heads —
+decode-to-logits in one XLA program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "inferences/sec/chip", "vs_baseline": N/5000,
+   extras...}
+All other output goes to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    devices = jax.devices()
+    log(f"devices: {devices}")
+    platform = devices[0].platform
+
+    from __graft_entry__ import _build_forward, _flagship_config
+
+    cfg = _flagship_config(tiny=(platform == "cpu"))
+    batch = 256 if platform != "cpu" else 8
+
+    rng = jax.random.PRNGKey(0)
+    fn, (imu_ex, video_ex) = _build_forward(cfg, batch, rng)
+    jfn = jax.jit(fn)
+
+    npr = np.random.default_rng(0)
+    imu = jax.device_put(
+        npr.normal(0, 8000, size=imu_ex.shape).astype(np.float32)
+    )
+    video = jax.device_put(
+        (npr.random(video_ex.shape) * 255).astype(np.uint8)
+    )
+
+    log(f"compiling batch={batch} video={video_ex.shape} ...")
+    t0 = time.perf_counter()
+    out = jfn(imu, video)
+    jax.block_until_ready(out)
+    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+
+    # steady-state throughput
+    iters = 20 if platform != "cpu" else 3
+    # warmup
+    for _ in range(3 if platform != "cpu" else 1):
+        out = jfn(imu, video)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(imu, video)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    throughput = batch * iters / dt
+    step_ms = dt / iters * 1e3
+
+    # p50 single-batch latency (per-call, includes dispatch)
+    lat = []
+    for _ in range(10 if platform != "cpu" else 2):
+        t1 = time.perf_counter()
+        jax.block_until_ready(jfn(imu, video))
+        lat.append(time.perf_counter() - t1)
+    p50_batch_ms = float(np.median(lat)) * 1e3
+
+    log(
+        f"throughput={throughput:.0f} inf/s/chip  step={step_ms:.2f}ms  "
+        f"p50 batch latency={p50_batch_ms:.2f}ms  (batch={batch})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_imu_video_inferences_per_sec_per_chip",
+                "value": round(throughput, 1),
+                "unit": "inferences/sec/chip",
+                "vs_baseline": round(throughput / 5000.0, 4),
+                "batch": batch,
+                "step_ms": round(step_ms, 3),
+                "p50_batch_latency_ms": round(p50_batch_ms, 3),
+                "platform": platform,
+                "backbone": cfg.model.video_backbone,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
