@@ -180,9 +180,17 @@ class Pipeline:
             print("[FewShot] no pretrained encoder — using random init")
 
         evaluator = FewShotEvaluator(cfg, self._next_key())
-        raw = evaluator.run_few_shot_experiments(
-            enc_params, train_df, test_df, val_df, experiment_name="cross_modal"
-        )
+        if cfg.eval.parallel_few_shot:
+            from .eval.fewshot_parallel import run_parallel_fewshot
+
+            raw = run_parallel_fewshot(
+                cfg, enc_params, train_df, test_df, val_df,
+                experiment_name="cross_modal", rng=self._next_key(),
+            )
+        else:
+            raw = evaluator.run_few_shot_experiments(
+                enc_params, train_df, test_df, val_df, experiment_name="cross_modal"
+            )
         agg = evaluator.aggregate_results(raw)
         results_dir = Path(cfg.paths.results_dir)
         raw.to_csv(results_dir / "fewshot_results_raw.csv", index=False)

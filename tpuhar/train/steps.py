@@ -123,16 +123,10 @@ def make_crossmodal_steps(model, config):
 # ---------------------------------------------------------------------------------
 # Classification steps
 # ---------------------------------------------------------------------------------
-def make_classification_steps(model, config, num_classes: Optional[int] = None):
-    """Returns ``(train_step, predict_step)`` for IMU classification.
+def classification_step_fns(model, config):
+    """Un-jitted ``(train_step, predict_step)`` — composable under vmap (the parallel
+    few-shot harness vmaps these over a run axis before jitting)."""
 
-    ``predict_step`` emits per-window logits — the fidelity surface BASELINE.json names —
-    plus embeddings for OOD scoring; metric accumulation happens on the confusion
-    matrix (``tpuhar.eval.metrics``), not per-batch sklearn calls.
-    """
-    n_cls = num_classes or config.model.num_classes
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             (logits, _), new_bs = _apply(
@@ -147,7 +141,6 @@ def make_classification_steps(model, config, num_classes: Optional[int] = None):
         acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
         return new_state, {"loss": loss, "accuracy": acc * 100.0}
 
-    @jax.jit
     def predict_step(state: TrainState, batch: Dict) -> Dict:
         (logits, emb), _ = _apply(model, state, batch["imu"], train=False)
         labels = batch.get("label", jnp.zeros(logits.shape[0], jnp.int32))
@@ -162,6 +155,20 @@ def make_classification_steps(model, config, num_classes: Optional[int] = None):
         }
 
     return train_step, predict_step
+
+
+def make_classification_steps(model, config, num_classes: Optional[int] = None):
+    """Jitted ``(train_step, predict_step)`` for IMU classification.
+
+    ``predict_step`` emits per-window logits — the fidelity surface BASELINE.json names —
+    plus embeddings for OOD scoring; metric accumulation happens on the confusion
+    matrix (``tpuhar.eval.metrics``), not per-batch sklearn calls.
+    """
+    train_step, predict_step = classification_step_fns(model, config)
+    return (
+        jax.jit(train_step, donate_argnums=(0,)),
+        jax.jit(predict_step),
+    )
 
 
 # ---------------------------------------------------------------------------------
