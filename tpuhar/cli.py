@@ -200,6 +200,27 @@ class Pipeline:
         print(f"\n{table}")
         return raw
 
+    def run_zeroshot(self) -> Dict:
+        """Zero-shot IMU classification via video class prototypes (writes the
+        ``zeroshot_results.json`` the reference's Table 4 machinery expects but
+        nothing upstream ever produces)."""
+        print("\n=== Stage: zero-shot evaluation ===")
+        cfg = self.config
+        from .eval.zeroshot import run_zero_shot
+
+        train_df, test_df = self._metadata("train"), self._metadata("test")
+        best = Path(cfg.paths.checkpoints_dir) / "cross_modal" / "best_model"
+        if not ckpt.checkpoint_exists(best):
+            raise FileNotFoundError("Zero-shot needs a pretrained cross-modal checkpoint")
+        task = build_crossmodal_task(cfg, 1, self._next_key())
+        task.state, _ = ckpt.restore_checkpoint(best, task.state)
+        results = run_zero_shot(
+            task, train_df, test_df, cfg,
+            save_path=Path(cfg.paths.results_dir) / "zeroshot_results.json",
+        )
+        print(pd.DataFrame(results).T)
+        return results
+
     def run_ood(self) -> pd.DataFrame:
         print("\n=== Stage: OOD leave-one-activity-out ===")
         cfg = self.config
@@ -233,6 +254,10 @@ class Pipeline:
             self.run_pretraining(resume=resume)
         else:
             print("[run_all] pretraining checkpoint found — skipping")
+        try:
+            self.run_zeroshot()
+        except Exception as e:
+            print(f"[run_all] zero-shot skipped: {e}")
         self.run_classification(classify_mode, resume=resume)
         self.run_evaluation()
         if cfg.ood.enabled:
@@ -290,7 +315,10 @@ def main(argv=None):
     )
     parser.add_argument(
         "--mode",
-        choices=["preprocess", "pretrain", "classify", "evaluate", "ood", "report", "all"],
+        choices=[
+            "preprocess", "pretrain", "classify", "evaluate", "zeroshot", "ood",
+            "report", "all",
+        ],
         default="all",
     )
     parser.add_argument(
@@ -322,6 +350,8 @@ def main(argv=None):
         pipeline.run_classification(args.classify_mode, resume=args.resume)
     elif args.mode == "evaluate":
         pipeline.run_evaluation()
+    elif args.mode == "zeroshot":
+        pipeline.run_zeroshot()
     elif args.mode == "ood":
         pipeline.run_ood()
     elif args.mode == "report":

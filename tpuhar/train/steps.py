@@ -19,6 +19,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from .. import losses as L
+from ..ops.augment import augment_imu
 from ..ops.video import normalize_clip
 
 
@@ -96,13 +97,17 @@ def make_crossmodal_steps(model, config):
             )
         return L.infonce_loss(out["imu_proj"], out["video_proj"], temperature)
 
+    augment = bool(config.data.use_augmentation)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         video = normalize_clip(batch["video"])
+        aug_rng, rng = jax.random.split(rng)
+        imu = augment_imu(batch["imu"], aug_rng, config) if augment else batch["imu"]
 
         def loss_fn(params):
             out, new_bs = _apply(
-                model, state.replace(params=params), batch["imu"], video,
+                model, state.replace(params=params), imu, video,
                 train=True, rng=rng,
             )
             return contrastive_loss(out), new_bs
@@ -127,10 +132,15 @@ def classification_step_fns(model, config):
     """Un-jitted ``(train_step, predict_step)`` — composable under vmap (the parallel
     few-shot harness vmaps these over a run axis before jitting)."""
 
+    augment = bool(config.data.use_augmentation)
+
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        aug_rng, rng = jax.random.split(rng)
+        imu = augment_imu(batch["imu"], aug_rng, config) if augment else batch["imu"]
+
         def loss_fn(params):
             (logits, _), new_bs = _apply(
-                model, state.replace(params=params), batch["imu"], train=True, rng=rng
+                model, state.replace(params=params), imu, train=True, rng=rng
             )
             return L.cross_entropy_loss(logits, batch["label"]), (new_bs, logits)
 
