@@ -1,0 +1,190 @@
+"""Pretrained-weight conversion: torch state dicts → Flax parameter trees.
+
+The reference downloads pretrained backbones at construction time
+(``VideoMAEModel.from_pretrained``, ``models.py:157``; torchvision ``pretrained=True``,
+``models.py:164-170``).  This build runs in network-isolated environments, so the
+equivalent capability is *conversion*: given a torch checkpoint already on disk (HF
+``pytorch_model.bin`` / torchvision ``.pth``), rewrite it into this framework's Flax
+trees.  VideoMAE conversion is numerically validated against the HF implementation in
+``tests/test_convert.py`` (same logits to fp32 tolerance).
+
+Key layout facts encoded here:
+- HF VideoMAE: Conv3d patch proj ``(D, 3, t, k, k)``; per layer q/k/v ``(D, D)``
+  out×in with **no key bias** (only ``q_bias``/``v_bias``); ``intermediate``/``output``
+  MLP; ``layernorm_before/after``; fixed (non-persistent) sinusoid position table.
+- torchvision resnet18: ``conv1/bn1``, ``layer{1..4}.{0,1}.conv1/bn1/conv2/bn2`` with
+  optional ``downsample.{0,1}``; BN running stats live in batch_stats, affine params
+  in params.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def sinusoid_position_table(n_positions: int, d_model: int) -> np.ndarray:
+    """The fixed sin/cos table HF VideoMAE adds to patch embeddings (1, N, D)."""
+    position = np.arange(n_positions)[:, None]
+    div = np.power(10000.0, 2 * (np.arange(d_model) // 2) / d_model)
+    table = position / div
+    table[:, 0::2] = np.sin(table[:, 0::2])
+    table[:, 1::2] = np.cos(table[:, 1::2])
+    return table[None].astype(np.float32)
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array → float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------------
+# VideoMAE → VideoViT
+# ---------------------------------------------------------------------------------
+def convert_videomae_state_dict(
+    sd: Dict, depth: int, d_model: int, num_heads: int, n_positions: int
+) -> Dict:
+    """HF ``VideoMAEModel.state_dict()`` → params for ``tpuhar.models.video.VideoViT``."""
+    hd = d_model // num_heads
+
+    def pre(key):  # tolerate both bare and "videomae."-prefixed checkpoints
+        if key in sd:
+            return sd[key]
+        return sd["videomae." + key]
+
+    params: Dict = {}
+    # tubelet conv: (D, 3, t, k, k) → (t, k, k, 3, D)
+    w = _np(pre("embeddings.patch_embeddings.projection.weight"))
+    params["tubelet"] = {
+        "proj": {
+            "kernel": w.transpose(2, 3, 4, 1, 0),
+            "bias": _np(pre("embeddings.patch_embeddings.projection.bias")),
+        }
+    }
+    params["pos_encoding"] = sinusoid_position_table(n_positions, d_model)
+
+    for i in range(depth):
+        p = f"encoder.layer.{i}."
+        qw = _np(pre(p + "attention.attention.query.weight"))
+        kw = _np(pre(p + "attention.attention.key.weight"))
+        vw = _np(pre(p + "attention.attention.value.weight"))
+        qb = _np(pre(p + "attention.attention.q_bias"))
+        vb = _np(pre(p + "attention.attention.v_bias"))
+        ow = _np(pre(p + "attention.output.dense.weight"))
+        ob = _np(pre(p + "attention.output.dense.bias"))
+        params[f"block{i}"] = {
+            "norm1": {
+                "scale": _np(pre(p + "layernorm_before.weight")),
+                "bias": _np(pre(p + "layernorm_before.bias")),
+            },
+            "self_attn": {
+                "query": {
+                    "kernel": qw.T.reshape(d_model, num_heads, hd),
+                    "bias": qb.reshape(num_heads, hd),
+                },
+                "key": {
+                    "kernel": kw.T.reshape(d_model, num_heads, hd),
+                    "bias": np.zeros((num_heads, hd), np.float32),  # VideoMAE: no k bias
+                },
+                "value": {
+                    "kernel": vw.T.reshape(d_model, num_heads, hd),
+                    "bias": vb.reshape(num_heads, hd),
+                },
+                "out": {
+                    "kernel": ow.T.reshape(num_heads, hd, d_model),
+                    "bias": ob,
+                },
+            },
+            "norm2": {
+                "scale": _np(pre(p + "layernorm_after.weight")),
+                "bias": _np(pre(p + "layernorm_after.bias")),
+            },
+            "mlp_in": {
+                "kernel": _np(pre(p + "intermediate.dense.weight")).T,
+                "bias": _np(pre(p + "intermediate.dense.bias")),
+            },
+            "mlp_out": {
+                "kernel": _np(pre(p + "output.dense.weight")).T,
+                "bias": _np(pre(p + "output.dense.bias")),
+            },
+        }
+
+    # final LN: VideoMAEModel.layernorm. Checkpoints trained with use_mean_pooling=True
+    # have NO final LN — build the VideoViT with ``use_final_norm=False`` then (an
+    # identity-affine LayerNorm would still standardize the tokens).
+    try:
+        params["final_norm"] = {
+            "scale": _np(pre("layernorm.weight")),
+            "bias": _np(pre("layernorm.bias")),
+        }
+    except KeyError:
+        pass
+    return params
+
+
+def videomae_has_final_norm(sd: Dict) -> bool:
+    return "layernorm.weight" in sd or "videomae.layernorm.weight" in sd
+
+
+# ---------------------------------------------------------------------------------
+# torchvision resnet18 → ResNet18
+# ---------------------------------------------------------------------------------
+def _bn(sd, prefix):
+    return (
+        {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])},
+        {
+            "mean": _np(sd[prefix + ".running_mean"]),
+            "var": _np(sd[prefix + ".running_var"]),
+        },
+    )
+
+
+def _conv(sd, key):
+    # torch conv (out, in, kh, kw) → flax (kh, kw, in, out)
+    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}
+
+
+def convert_resnet18_state_dict(sd: Dict):
+    """torchvision ``resnet18().state_dict()`` → ``(params, batch_stats)`` for
+    ``tpuhar.models.video.ResNet18`` (head/fc dropped, as the reference drops it)."""
+    params: Dict = {}
+    batch_stats: Dict = {}
+    params["stem_conv"] = _conv(sd, "conv1.weight")
+    params["stem_bn"], batch_stats["stem_bn"] = _bn(sd, "bn1")
+
+    for li in range(4):
+        for bi in range(2):
+            tp = f"layer{li + 1}.{bi}"
+            fp = f"layer{li}_{bi}"
+            p: Dict = {}
+            bsd: Dict = {}
+            p["conv1"] = _conv(sd, f"{tp}.conv1.weight")
+            p["bn1"], bsd["bn1"] = _bn(sd, f"{tp}.bn1")
+            p["conv2"] = _conv(sd, f"{tp}.conv2.weight")
+            p["bn2"], bsd["bn2"] = _bn(sd, f"{tp}.bn2")
+            if f"{tp}.downsample.0.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{tp}.downsample.0.weight")
+                p["downsample_bn"], bsd["downsample_bn"] = _bn(sd, f"{tp}.downsample.1")
+            params[fp] = p
+            batch_stats[fp] = bsd
+    return params, batch_stats
+
+
+def graft_video_backbone(variables: Dict, converted, backbone: str) -> Dict:
+    """Insert converted backbone weights into a VideoEncoder variables tree."""
+    import jax
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = dict(variables["params"])
+    if backbone.startswith("videomae"):
+        params["vit"] = converted
+        variables = {**variables, "params": params}
+    else:
+        bb_params, bb_stats = converted
+        params["backbone"] = bb_params
+        bs = dict(variables.get("batch_stats", {}))
+        bs["backbone"] = bb_stats
+        variables = {**variables, "params": params, "batch_stats": bs}
+    return variables

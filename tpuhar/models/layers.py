@@ -88,7 +88,8 @@ class PreNormBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="mlp_in")(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU — matches HF ViT/VideoMAE for weight-conversion parity
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="mlp_out")(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x

@@ -68,6 +68,9 @@ class VideoViT(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.0
     pool: str = "mean"  # "first" replicates the reference's token-0 grab
+    # HF VideoMAE checkpoints with use_mean_pooling=True carry NO final LayerNorm;
+    # set False when grafting such weights (an identity-affine LN still standardizes).
+    use_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,7 +91,8 @@ class VideoViT(nn.Module):
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, deterministic=not train)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="final_norm")(tokens)
+        if self.use_final_norm:
+            tokens = nn.LayerNorm(dtype=self.dtype, name="final_norm")(tokens)
         if self.pool == "first":
             emb = tokens[:, 0]
         else:
