@@ -221,6 +221,21 @@ class Pipeline:
         print(pd.DataFrame(results).T)
         return results
 
+    def run_ablations(self) -> pd.DataFrame:
+        """Encoder/featurizer ablation grid → ``ablation_results.csv`` (the artifact
+        the reference's Table 5 machinery expects but never produces)."""
+        print("\n=== Stage: ablations ===")
+        cfg = self.config
+        from .eval.ablation import run_ablations
+
+        train_df, val_df, test_df = (
+            self._metadata("train"), self._metadata("val"), self._metadata("test")
+        )
+        df = run_ablations(cfg, train_df, val_df, test_df, rng=self._next_key())
+        df.to_csv(Path(cfg.paths.results_dir) / "ablation_results.csv", index=False)
+        print(f"\n{df}")
+        return df
+
     def run_ood(self) -> pd.DataFrame:
         print("\n=== Stage: OOD leave-one-activity-out ===")
         cfg = self.config
@@ -317,7 +332,7 @@ def main(argv=None):
         "--mode",
         choices=[
             "preprocess", "pretrain", "classify", "evaluate", "zeroshot", "ood",
-            "report", "all",
+            "ablate", "report", "all",
         ],
         default="all",
     )
@@ -352,6 +367,8 @@ def main(argv=None):
         pipeline.run_evaluation()
     elif args.mode == "zeroshot":
         pipeline.run_zeroshot()
+    elif args.mode == "ablate":
+        pipeline.run_ablations()
     elif args.mode == "ood":
         pipeline.run_ood()
     elif args.mode == "report":

@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from ..eval.metrics import confusion_update, init_confusion, metrics_from_confusion
+from ..utils.profiling import MetricsLogger
 from . import checkpoint as ckpt
 from .steps import TrainState
 
@@ -75,6 +76,14 @@ class BaseTrainer:
         self.current_epoch = 0
         self.history: Dict[str, list] = {"train": [], "val": []}
         self.verbose = True
+        # Structured metric stream into logs_dir — the reference creates logs_dir but
+        # never writes to it (configs/config.py:41-46, SURVEY §5.5); we use it.
+        try:
+            self.metrics_logger = MetricsLogger(
+                Path(config.paths.logs_dir), name=self.save_dir.name
+            )
+        except Exception:
+            self.metrics_logger = None
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -154,6 +163,11 @@ class CrossModalTrainer(BaseTrainer):
             dt = time.perf_counter() - t0
             self.history["train"].append(train_loss)
             self.history["val"].append(val_loss)
+            if self.metrics_logger:
+                self.metrics_logger.log(
+                    epoch, {"train_loss": train_loss, "val_loss": val_loss},
+                    stage="pretrain",
+                )
             self._log(
                 f"[Pretrain] epoch={epoch} train_loss={train_loss:.4f} "
                 f"val_loss={val_loss:.4f} ({dt:.1f}s)"
@@ -231,6 +245,13 @@ class ClassificationTrainer(BaseTrainer):
             val_metrics = self.validate(val_loader)
             self.history["train"].append(train_metrics)
             self.history["val"].append(val_metrics)
+            if self.metrics_logger:
+                self.metrics_logger.log(
+                    epoch,
+                    {**{f"train_{k}": v for k, v in train_metrics.items()},
+                     **{f"val_{k}": v for k, v in val_metrics.items()}},
+                    stage=f"classify_{self.mode}",
+                )
             self._log(
                 f"[Cls:{self.mode}] epoch={epoch} "
                 f"train_loss={train_metrics['loss']:.4f} "
