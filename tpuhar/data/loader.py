@@ -181,6 +181,30 @@ class BatchLoader:
         self.channels = d.imu_channels
         self.window = d.imu_window_size
         self.window_seconds = d.imu_window_size / float(d.imu_sampling_rate)
+        self._banks = self._open_banks()
+
+    def _open_banks(self):
+        """Memory-map packed per-split window banks when available.
+
+        The preprocessor writes ``{split}_windows.npy`` alongside the metadata;
+        gathering rows from a memmap replaces one tiny-file read + parse per window
+        (the reference does ``np.load`` per item per epoch, ``datasets.py:117``).
+        Falls back to per-file loads for manifests without bank columns.
+        """
+        if "bank_idx" not in self.df.columns or "split" not in self.df.columns:
+            return None
+        banks = {}
+        for split in self.df["split"].unique():
+            path = Path(self.config.paths.preprocessed_dir) / f"{split}_windows.npy"
+            if not path.exists():
+                return None
+            bank = np.load(path, mmap_mode="r")
+            if bank.ndim != 3 or bank.shape[1:] != (self.window, self.channels):
+                return None
+            if int(self.df[self.df["split"] == split]["bank_idx"].max()) >= len(bank):
+                return None
+            banks[split] = bank
+        return banks
 
     def __len__(self) -> int:
         n = len(self.df)
@@ -204,13 +228,18 @@ class BatchLoader:
         rows = self.df.iloc[rows_idx]
 
         imu = np.zeros((B, self.channels, self.window), dtype=np.float32)
-        for i, (_, row) in enumerate(rows.iterrows()):
-            imu[i] = load_imu_window(
-                row["imu_window_path"],
-                self.config.paths.preprocessed_dir,
-                self.channels,
-                self.window,
-            )
+        if self._banks is not None:
+            for i, (_, row) in enumerate(rows.iterrows()):
+                w = self._banks[row["split"]][int(row["bank_idx"])]  # (T, C)
+                imu[i] = np.ascontiguousarray(w.T)
+        else:
+            for i, (_, row) in enumerate(rows.iterrows()):
+                imu[i] = load_imu_window(
+                    row["imu_window_path"],
+                    self.config.paths.preprocessed_dir,
+                    self.channels,
+                    self.window,
+                )
         batch = {
             "imu": imu,
             "idx": np.pad(rows_idx.astype(np.int32), (0, B - n_valid)),

@@ -38,6 +38,9 @@ METADATA_COLUMNS = [
     "split_start",
     "split_end",
     "imu_window_path",
+    # TPU-build addition: row position inside the packed {split}_windows.npy bank
+    # (all reference columns above are preserved verbatim).
+    "bank_idx",
 ]
 
 

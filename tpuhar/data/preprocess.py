@@ -177,6 +177,7 @@ class Preprocessor:
         self.preprocessing_stats["total_samples"] += len(lines)
         d = self.data_cfg
         records = []
+        all_windows = []
 
         for line in lines:
             try:
@@ -237,16 +238,25 @@ class Preprocessor:
                     fpath = out_dir / fname
                     np.save(fpath, window.astype(np.float32))
                     imu_path = str(fpath)
-                records.append(
-                    M.window_record(
-                        split, info, line, w_idx, video_ok, window.shape, start_frame, imu_path
-                    )
+                rec = M.window_record(
+                    split, info, line, w_idx, video_ok, window.shape, start_frame, imu_path
                 )
+                rec["bank_idx"] = len(records)
+                records.append(rec)
+                all_windows.append(window.astype(np.float32))
 
         df = pd.DataFrame(records)
         if save:
             Path(self.paths.preprocessed_dir).mkdir(parents=True, exist_ok=True)
             df.to_csv(Path(self.paths.preprocessed_dir) / f"{split}_metadata.csv", index=False)
+            # Packed window bank: one contiguous (N, T, C) array, memory-mapped by the
+            # loader — removes the per-window tiny-file reads from the feeding hot
+            # path. The per-window .npy files above remain for reference-layout parity.
+            if all_windows:
+                np.save(
+                    Path(self.paths.preprocessed_dir) / f"{split}_windows.npy",
+                    np.stack(all_windows),
+                )
         return df
 
     def run_full_preprocessing(self) -> Dict[str, pd.DataFrame]:

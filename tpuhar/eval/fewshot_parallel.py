@@ -36,10 +36,34 @@ TRAIN_BS, EVAL_BS = 32, 64  # reference evaluator.py:160-161
 
 
 def load_window_bank(df: pd.DataFrame, config) -> np.ndarray:
-    """Load every window of a manifest into one ``(N, C, T)`` array."""
+    """Load every window of a manifest into one ``(N, C, T)`` array.
+
+    Uses the packed per-split ``{split}_windows.npy`` bank when present (one bulk
+    gather instead of N tiny-file reads); falls back to per-file loads.
+    """
+    from pathlib import Path
+
     d = config.data
+    df = df.reset_index(drop=True)
+    if "bank_idx" in df.columns and "split" in df.columns:
+        try:
+            parts = []
+            for split, sub in df.groupby("split", sort=False):
+                packed = np.load(
+                    Path(config.paths.preprocessed_dir) / f"{split}_windows.npy",
+                    mmap_mode="r",
+                )
+                parts.append(
+                    (sub.index.to_numpy(), packed[sub["bank_idx"].to_numpy()])
+                )
+            bank = np.zeros((len(df), d.imu_window_size, d.imu_channels), np.float32)
+            for idx, rows in parts:
+                bank[idx] = rows
+            return np.ascontiguousarray(bank.transpose(0, 2, 1))
+        except (FileNotFoundError, IndexError, ValueError):
+            pass
     bank = np.zeros((len(df), d.imu_channels, d.imu_window_size), np.float32)
-    for i, (_, row) in enumerate(df.reset_index(drop=True).iterrows()):
+    for i, (_, row) in enumerate(df.iterrows()):
         bank[i] = load_imu_window(
             row["imu_window_path"], config.paths.preprocessed_dir,
             d.imu_channels, d.imu_window_size,
