@@ -1,0 +1,111 @@
+"""Serving engine: padding/chunking, OOD outputs, mesh-sharded inference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuhar.config import Config
+from tpuhar.models.crossmodal import FusionClassifier, IMUClassifier
+from tpuhar.ood import MahalanobisScorer
+from tpuhar.parallel.mesh import create_mesh
+from tpuhar.serving import InferenceEngine
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _cfg():
+    cfg = Config()
+    cfg.model.num_classes = 4
+    cfg.model.imu_num_layers = 1
+    cfg.model.imu_d_model = 32
+    cfg.model.imu_nhead = 4
+    cfg.model.fusion_heads = 4
+    cfg.model.classifier_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.model.video_backbone = "tiny_cnn"
+    cfg.model.video_d_model = 32
+    cfg.data.video_resize = (32, 32)
+    cfg.data.video_frames_per_window = 4
+    return cfg
+
+
+def _fusion_engine(cfg, **kw):
+    model = FusionClassifier(cfg)
+    imu = jnp.zeros((2, 6, 250))
+    video = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(KEY, imu, video)
+    return InferenceEngine(cfg, variables, batch_sizes=[8], **kw)
+
+
+def test_predict_contract(rng):
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(0, 8000, size=(5, 250, 6)).astype(np.float32)
+    video = (rng.random((5, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    out = engine.predict(imu, video)  # 5 < batch 8 → padded internally
+    assert out["logits"].shape == (5, 4)
+    assert out["preds"].shape == (5,)
+    assert out["msp"].shape == (5,)
+    assert out["energy"].shape == (5,)
+    assert np.isfinite(out["logits"]).all()
+
+
+def test_predict_chunks_oversized(rng):
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(size=(20, 250, 6)).astype(np.float32)
+    video = (rng.random((20, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    out = engine.predict(imu, video)
+    assert out["logits"].shape == (20, 4)
+    # chunking must give the same answer as one-by-one
+    single = engine.predict(imu[3:4], video[3:4])
+    np.testing.assert_allclose(out["logits"][3], single["logits"][0], atol=1e-5)
+
+
+def test_imu_only_engine_with_mahalanobis(rng):
+    cfg = _cfg()
+    model = IMUClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)))
+    emb_dim = cfg.model.imu_d_model
+    scorer = MahalanobisScorer.fit(
+        rng.normal(size=(50, emb_dim)).astype(np.float32),
+        rng.integers(0, 4, 50),
+        4,
+    )
+    engine = InferenceEngine(
+        cfg, variables, imu_only=True, batch_sizes=[4], mahalanobis=scorer
+    )
+    out = engine.predict(rng.normal(size=(4, 250, 6)).astype(np.float32))
+    assert "mahalanobis" in out
+    assert out["mahalanobis"].shape == (4,)
+    assert (out["mahalanobis"] >= 0).all()
+
+
+def test_mesh_sharded_engine(rng):
+    cfg = _cfg()
+    mesh = create_mesh(model_axis_size=1)  # 8-way data parallel
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+    engine = InferenceEngine(cfg, variables, batch_sizes=[16], mesh=mesh)
+    imu = rng.normal(size=(16, 250, 6)).astype(np.float32)
+    video = (rng.random((16, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    out = engine.predict(imu, video)
+    assert out["logits"].shape == (16, 4)
+    # parity with the unsharded engine over the same variables
+    engine2 = InferenceEngine(cfg, variables, batch_sizes=[16])
+    out2 = engine2.predict(imu, video)
+    np.testing.assert_allclose(out["logits"], out2["logits"], atol=1e-4)
+
+
+def test_latency_summary(rng):
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(size=(8, 250, 6)).astype(np.float32)
+    video = (rng.random((8, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    for _ in range(3):
+        engine.predict(imu, video)
+    s = engine.latency_summary()
+    assert s["steps"] == 3
+    assert s["p50_ms"] > 0

@@ -1,0 +1,181 @@
+"""Serving: fused batched inference engine with OOD scoring.
+
+The production-facing counterpart of the training stack and the subject of the
+north-star benchmark: raw IMU windows (sensor counts) + uint8 clips → featurization →
+fusion/classifier forward → logits + MSP/energy(/Mahalanobis) OOD scores, one XLA
+program per batch, optionally sharded over a device mesh ('data' axis) so batched
+inference scales across ICI (BASELINE.json: "batched multi-chip inference sharded over
+ICI").
+
+The engine owns compiled executables per batch size (padding requests up to the
+nearest registered size keeps shapes static), reports rolling latency percentiles, and
+can be constructed from a training checkpoint.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.crossmodal import FusionClassifier, IMUClassifier
+from .ood import MahalanobisScorer, energy_score, msp_score
+from .ops.featurize import featurize_windows
+from .ops.video import normalize_clip
+from .utils.profiling import StepProfiler
+
+
+class InferenceEngine:
+    """Batched fused inference over the flagship fusion model (or IMU-only).
+
+    ``predict(imu_raw, video_u8)`` takes raw counts ``(B, T, C)`` and uint8 pixels
+    ``(B, F, H, W, 3)``; IMU-only engines take just ``imu_raw``.  Outputs logits,
+    predictions, and OOD scores.
+    """
+
+    def __init__(
+        self,
+        config,
+        variables: Dict,
+        *,
+        imu_only: bool = False,
+        batch_sizes: Optional[List[int]] = None,
+        mesh=None,
+        mahalanobis: Optional[MahalanobisScorer] = None,
+    ):
+        self.config = config
+        self.imu_only = imu_only
+        self.batch_sizes = sorted(batch_sizes or [256])
+        self.mesh = mesh
+        self.mahalanobis = mahalanobis
+        self.profiler = StepProfiler()
+
+        model = IMUClassifier(config) if imu_only else FusionClassifier(config)
+        d = config.data
+
+        def forward(imu_raw, video_u8=None):
+            imu = featurize_windows(
+                imu_raw,
+                kernel_size=d.median_filter_kernel,
+                normalize=d.normalize_imu,
+                racc=d.Racc,
+                rgyro=d.Rgyro,
+            )
+            if imu_only:
+                logits, emb = model.apply(variables, imu, train=False)
+            else:
+                video = normalize_clip(video_u8)
+                logits, emb = model.apply(variables, imu, video, train=False)
+            out = {
+                "logits": logits,
+                "preds": jnp.argmax(logits, axis=-1),
+                "msp": msp_score(logits),
+                "energy": energy_score(logits, config.ood.energy_temperature),
+                "embeddings": emb,
+            }
+            if self.mahalanobis is not None:
+                out["mahalanobis"] = self.mahalanobis.score(emb)
+            return out
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sharding = NamedSharding(mesh, P(config.training.data_axis))
+            n_in = 1 if imu_only else 2
+            self._fn = jax.jit(
+                forward, in_shardings=(data_sharding,) * n_in
+            )
+        else:
+            self._fn = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, config, checkpoint_path, *, imu_only: bool = False, **kw):
+        """Build from a training checkpoint (params + batch_stats)."""
+        from .train import checkpoint as ckpt
+        from .train.factory import (
+            build_classification_task,
+            build_fusion_task,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        if imu_only:
+            task = build_classification_task(config, "finetune", 1, rng)
+        else:
+            task = build_fusion_task(config, 1, rng)
+        state, _ = ckpt.restore_checkpoint(checkpoint_path, task.state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(config, variables, imu_only=imu_only, **kw)
+
+    def _padded_size(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def warmup(self) -> None:
+        """Compile every registered batch size."""
+        d = self.config.data
+        H, W = d.video_resize
+        for b in self.batch_sizes:
+            imu = np.zeros((b, d.imu_window_size, d.imu_channels), np.float32)
+            args = (imu,) if self.imu_only else (
+                imu, np.zeros((b, d.video_frames_per_window, H, W, 3), np.uint8)
+            )
+            jax.block_until_ready(self._fn(*args))
+
+    def predict(self, imu_raw, video_u8=None) -> Dict[str, np.ndarray]:
+        n = imu_raw.shape[0]
+        b = self._padded_size(n)
+        if n > b:
+            # chunk oversized requests through the largest executable
+            outs = [
+                self.predict(
+                    imu_raw[i : i + b],
+                    None if video_u8 is None else video_u8[i : i + b],
+                )
+                for i in range(0, n, b)
+            ]
+            return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        if n < b:
+            pad = ((0, b - n),) + ((0, 0),) * (imu_raw.ndim - 1)
+            imu_raw = np.pad(imu_raw, pad)
+            if video_u8 is not None:
+                vpad = ((0, b - n),) + ((0, 0),) * (video_u8.ndim - 1)
+                video_u8 = np.pad(video_u8, vpad)
+
+        self.profiler.start()
+        args = (imu_raw,) if self.imu_only else (imu_raw, video_u8)
+        out = self._fn(*args)
+        out = jax.device_get(out)
+        self.profiler.stop()
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def latency_summary(self) -> Dict[str, float]:
+        return self.profiler.summary()
+
+
+def benchmark_engine(engine: InferenceEngine, batch: int, iters: int = 20) -> Dict:
+    """Steady-state throughput/latency of an engine at one batch size."""
+    d = engine.config.data
+    H, W = d.video_resize
+    rng = np.random.default_rng(0)
+    imu = rng.normal(0, 8000, size=(batch, d.imu_window_size, d.imu_channels)).astype(
+        np.float32
+    )
+    video = None
+    if not engine.imu_only:
+        video = (rng.random((batch, d.video_frames_per_window, H, W, 3)) * 255).astype(
+            np.uint8
+        )
+    engine.predict(imu, video)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        engine.predict(imu, video)
+    dt = time.perf_counter() - t0
+    return {
+        "throughput": batch * iters / dt,
+        "step_ms": dt / iters * 1e3,
+        **{f"lat_{k}": v for k, v in engine.latency_summary().items()},
+    }
