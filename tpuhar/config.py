@@ -168,6 +168,10 @@ class ModelConfig:
     # stay float32).
     compute_dtype: str = "bfloat16"
 
+    # Rematerialize video-ViT blocks in backward (jax.checkpoint) — trades FLOPs for
+    # activation memory when pretraining with large batches.
+    remat_video: bool = False
+
     # --- quirk-replication flags (SURVEY.md §2.1) ---
     # Q1: reference truncates the IMU token stream from 1+C*N=91 tokens to
     # max_patches+1=16, so the transformer only ever sees channel 0. Default False sizes

@@ -75,7 +75,7 @@ class PreNormBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,

@@ -71,6 +71,10 @@ class VideoViT(nn.Module):
     # HF VideoMAE checkpoints with use_mean_pooling=True carry NO final LayerNorm;
     # set False when grafting such weights (an identity-affine LN still standardizes).
     use_final_norm: bool = True
+    # Rematerialize each block's activations in backward (jax.checkpoint): trades
+    # ~33% more FLOPs for O(depth) less activation HBM — enables larger pretraining
+    # batches on the 1568-token stream.
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -82,15 +86,18 @@ class VideoViT(nn.Module):
             "pos_encoding", nn.initializers.normal(0.02), (1, tokens.shape[1], self.d_model)
         )
         tokens = tokens + pos.astype(self.dtype)
+        block_cls = (
+            nn.remat(PreNormBlock, static_argnums=(2,)) if self.remat else PreNormBlock
+        )
         for i in range(self.depth):
-            tokens = PreNormBlock(
+            tokens = block_cls(
                 d_model=self.d_model,
                 num_heads=self.num_heads,
                 d_ff=self.d_model * self.mlp_ratio,
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(tokens, deterministic=not train)
+            )(tokens, not train)
         if self.use_final_norm:
             tokens = nn.LayerNorm(dtype=self.dtype, name="final_norm")(tokens)
         if self.pool == "first":
@@ -260,6 +267,7 @@ class VideoEncoder(nn.Module):
     backbone: str = "videomae_base"
     video_d_model: int = 768
     pool: str = "mean"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -270,7 +278,7 @@ class VideoEncoder(nn.Module):
             depth, d_model, heads = VIT_CONFIGS[self.backbone]
             emb, tokens = VideoViT(
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
-                dtype=self.dtype, name="vit",
+                remat=self.remat, dtype=self.dtype, name="vit",
             )(x, train=train)
             proj = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")
             emb = proj(emb.astype(self.dtype)).astype(jnp.float32)
@@ -304,5 +312,8 @@ def build_video_encoder(config, dtype=None):
         if backbone not in VIT_CONFIGS:
             backbone = "videomae_base"
     return VideoEncoder(
-        backbone=backbone, video_d_model=m.video_d_model, dtype=dtype
+        backbone=backbone,
+        video_d_model=m.video_d_model,
+        remat=m.remat_video,
+        dtype=dtype,
     )
