@@ -123,3 +123,73 @@ def test_resnet18_conversion_structure(rng):
     )
     assert out.shape == (1, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _fake_mobilenet_v2_state_dict(rng):
+    """torchvision mobilenet_v2 state-dict schema with random values."""
+    import torch as T
+
+    sd = {}
+
+    def conv(k, cout, cin, ksize):
+        sd[k] = T.from_numpy(
+            rng.normal(0, 0.05, size=(cout, cin, ksize, ksize)).astype(np.float32)
+        )
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = T.ones(c)
+        sd[prefix + ".bias"] = T.zeros(c)
+        sd[prefix + ".running_mean"] = T.zeros(c)
+        sd[prefix + ".running_var"] = T.ones(c)
+
+    settings = [  # (expand, out, stride) per torchvision inverted-residual
+        (1, 16), (6, 24), (6, 24), (6, 32), (6, 32), (6, 32), (6, 64), (6, 64),
+        (6, 64), (6, 64), (6, 96), (6, 96), (6, 96), (6, 160), (6, 160), (6, 160),
+        (6, 320),
+    ]
+    conv("features.0.0.weight", 32, 3, 3)
+    bn("features.0.1", 32)
+    cin = 32
+    for i, (expand, cout) in enumerate(settings):
+        tp = f"features.{i + 1}.conv"
+        hidden = cin * expand
+        if expand == 1:
+            conv(f"{tp}.0.0.weight", hidden, 1, 3)  # depthwise
+            bn(f"{tp}.0.1", hidden)
+            conv(f"{tp}.1.weight", cout, hidden, 1)
+            bn(f"{tp}.2", cout)
+        else:
+            conv(f"{tp}.0.0.weight", hidden, cin, 1)
+            bn(f"{tp}.0.1", hidden)
+            conv(f"{tp}.1.0.weight", hidden, 1, 3)  # depthwise
+            bn(f"{tp}.1.1", hidden)
+            conv(f"{tp}.2.weight", cout, hidden, 1)
+            bn(f"{tp}.3", cout)
+        cin = cout
+    conv("features.18.0.weight", 1280, 320, 1)
+    bn("features.18.1", 1280)
+    return sd
+
+
+def test_mobilenet_v2_conversion_structure(rng):
+    from tpuhar.models.convert import convert_mobilenet_v2_state_dict
+    from tpuhar.models.video import MobileNetV2
+
+    sd = _fake_mobilenet_v2_state_dict(rng)
+    params, batch_stats = convert_mobilenet_v2_state_dict(sd)
+
+    net = MobileNetV2()
+    ref = net.init(KEY, jnp.zeros((1, 64, 64, 3)))
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+    ref_bs = jax.tree_util.tree_map(lambda a: a.shape, ref["batch_stats"])
+    got_bs = jax.tree_util.tree_map(lambda a: a.shape, batch_stats)
+    assert ref_bs == got_bs
+
+    out = net.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32)),
+    )
+    assert out.shape == (1, 1280)
+    assert np.isfinite(np.asarray(out)).all()

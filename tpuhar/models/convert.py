@@ -172,6 +172,49 @@ def convert_resnet18_state_dict(sd: Dict):
     return params, batch_stats
 
 
+# ---------------------------------------------------------------------------------
+# torchvision mobilenet_v2 → MobileNetV2
+# ---------------------------------------------------------------------------------
+# torchvision layout: features.0 = stem ConvBNReLU; features.1..17 = InvertedResidual
+# (block.conv = [expand ConvBNReLU]? dw ConvBNReLU, project conv, project bn);
+# features.18 = head ConvBNReLU.
+MOBILENET_V2_EXPAND = [1, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6]
+
+
+def convert_mobilenet_v2_state_dict(sd: Dict):
+    """torchvision ``mobilenet_v2().state_dict()`` → ``(params, batch_stats)`` for
+    ``tpuhar.models.video.MobileNetV2`` (classifier dropped; reference keeps only
+    ``.features``, ``models.py:169-173``)."""
+    params: Dict = {}
+    batch_stats: Dict = {}
+    params["stem_conv"] = _conv(sd, "features.0.0.weight")
+    params["stem_bn"], batch_stats["stem_bn"] = _bn(sd, "features.0.1")
+
+    for i in range(17):  # features.1 .. features.17
+        tp = f"features.{i + 1}.conv"
+        p: Dict = {}
+        bsd: Dict = {}
+        if MOBILENET_V2_EXPAND[i] == 1:
+            # no expand conv: conv.0 = dw ConvBNReLU, conv.1 = project conv, conv.2 = bn
+            p["dw_conv"] = _conv(sd, f"{tp}.0.0.weight")
+            p["dw_bn"], bsd["dw_bn"] = _bn(sd, f"{tp}.0.1")
+            p["project_conv"] = _conv(sd, f"{tp}.1.weight")
+            p["project_bn"], bsd["project_bn"] = _bn(sd, f"{tp}.2")
+        else:
+            p["expand_conv"] = _conv(sd, f"{tp}.0.0.weight")
+            p["expand_bn"], bsd["expand_bn"] = _bn(sd, f"{tp}.0.1")
+            p["dw_conv"] = _conv(sd, f"{tp}.1.0.weight")
+            p["dw_bn"], bsd["dw_bn"] = _bn(sd, f"{tp}.1.1")
+            p["project_conv"] = _conv(sd, f"{tp}.2.weight")
+            p["project_bn"], bsd["project_bn"] = _bn(sd, f"{tp}.3")
+        params[f"ir{i}"] = p
+        batch_stats[f"ir{i}"] = bsd
+
+    params["head_conv"] = _conv(sd, "features.18.0.weight")
+    params["head_bn"], batch_stats["head_bn"] = _bn(sd, "features.18.1")
+    return params, batch_stats
+
+
 def graft_video_backbone(variables: Dict, converted, backbone: str) -> Dict:
     """Insert converted backbone weights into a VideoEncoder variables tree."""
     import jax
