@@ -38,8 +38,7 @@ def main():
     cfg = _flagship_config(tiny=(platform == "cpu"))
     batch = 256 if platform != "cpu" else 8
 
-    rng = jax.random.PRNGKey(0)
-    fn, (imu_ex, video_ex) = _build_forward(cfg, batch, rng)
+    fn, (imu_ex, video_ex) = _build_forward(cfg, batch)
     jfn = jax.jit(fn)
 
     npr = np.random.default_rng(0)

@@ -56,7 +56,7 @@ def main():
     video_u8 = jax.device_put((npr.random((batch, T, H, W, 3)) * 255).astype(np.uint8))
 
     # full
-    fn, _ = _build_forward(cfg, batch, jax.random.PRNGKey(0))
+    fn, _ = _build_forward(cfg, batch)
     t_full = timeit(jax.jit(fn), (imu, video_u8))
     log(f"full step           : {t_full:8.2f} ms  ({batch / t_full * 1e3:7.0f} inf/s)")
 

@@ -24,7 +24,7 @@ def measure(backbone: str, batch: int, iters: int = 20):
 
     cfg = _flagship_config()
     cfg.model.video_backbone = backbone
-    fn, (imu_ex, video_ex) = _build_forward(cfg, batch, jax.random.PRNGKey(0))
+    fn, (imu_ex, video_ex) = _build_forward(cfg, batch)
     jfn = jax.jit(fn)
     npr = np.random.default_rng(0)
     imu = jax.device_put(npr.normal(0, 8000, size=imu_ex.shape).astype(np.float32))
