@@ -52,29 +52,51 @@ def main():
     log(f"compiling batch={batch} video={video_ex.shape} ...")
     t0 = time.perf_counter()
     out = jfn(imu, video)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out["logits"]).sum())  # hard host sync
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
 
-    # steady-state throughput
-    iters = 20 if platform != "cpu" else 3
-    # warmup
-    for _ in range(3 if platform != "cpu" else 1):
-        out = jfn(imu, video)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(imu, video)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    throughput = batch * iters / dt
-    step_ms = dt / iters * 1e3
+    # Steady-state throughput via an in-program chained loop: each iteration's input
+    # depends on the previous iteration's logits, so the device must run them
+    # serially inside ONE executable — immune to async-dispatch / remote-queue
+    # timing artifacts. Per-step time = (t(K) - t(1)) / (K - 1).
+    import jax.numpy as jnp
+    from functools import partial
 
-    # p50 single-batch latency (per-call, includes dispatch)
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(imu, video, iters: int):
+        def body(_, carry):
+            cur_imu, acc = carry
+            out = fn(cur_imu, video)
+            # tiny data dependency: mixes a scalar of the output into the next input
+            delta = jnp.sum(out["logits"]) * 1e-12
+            return cur_imu + delta, acc + delta
+
+        final_imu, acc = jax.lax.fori_loop(0, iters, body, (imu, jnp.float32(0)))
+        return acc
+
+    iters = 20 if platform != "cpu" else 2
+
+    def run(k):
+        t0 = time.perf_counter()
+        val = chained(imu, video, k)
+        _ = float(np.asarray(val))  # host readback = true completion
+        return time.perf_counter() - t0
+
+    run(1)  # compile chained(1)
+    run(iters)  # compile chained(iters)
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(iters) for _ in range(2))
+    step_s = (tk - t1) / (iters - 1)
+    throughput = batch / step_s
+    step_ms = step_s * 1e3
+
+    # p50 end-to-end batch latency (dispatch + execute + scalar readback)
     lat = []
-    for _ in range(10 if platform != "cpu" else 2):
-        t1 = time.perf_counter()
-        jax.block_until_ready(jfn(imu, video))
-        lat.append(time.perf_counter() - t1)
+    for _ in range(6 if platform != "cpu" else 2):
+        t1b = time.perf_counter()
+        out = jfn(imu, video)
+        _ = float(np.asarray(out["logits"][0, 0]))
+        lat.append(time.perf_counter() - t1b)
     p50_batch_ms = float(np.median(lat)) * 1e3
 
     log(
