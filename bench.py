@@ -64,14 +64,17 @@ def main():
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(imu, video, iters: int):
-        def body(_, carry):
+        def body(i, carry):
             cur_imu, acc = carry
-            out = fn(cur_imu, video)
-            # tiny data dependency: mixes a scalar of the output into the next input
+            # every input must depend on the loop, or XLA hoists the whole tower out
+            # as loop-invariant (it did): roll the clip batch by the iteration index
+            # and mix an output scalar into the next IMU input.
+            v = jnp.roll(video, i, axis=0)
+            out = fn(cur_imu, v)
             delta = jnp.sum(out["logits"]) * 1e-12
             return cur_imu + delta, acc + delta
 
-        final_imu, acc = jax.lax.fori_loop(0, iters, body, (imu, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, iters, body, (imu, jnp.float32(0)))
         return acc
 
     iters = 20 if platform != "cpu" else 2

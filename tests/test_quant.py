@@ -1,0 +1,109 @@
+"""Int8 quantization: primitive correctness and end-to-end resnet18 drift."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuhar.models.video import ResNet18
+from tpuhar.ops.quant import (
+    calibrate_resnet18,
+    fold_bn,
+    int8_conv,
+    int8_dense,
+    quant_resnet18_forward,
+    quantize_resnet18,
+    quantize_weights,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_quantize_weights_roundtrip(rng):
+    w = rng.normal(size=(3, 3, 16, 32)).astype(np.float32)
+    w_q, scale = quantize_weights(jnp.asarray(w))
+    w_hat = np.asarray(w_q, np.float32) * np.asarray(scale)
+    # quantization error bounded by half a step per channel
+    step = np.asarray(scale).reshape(-1)
+    err = np.abs(w_hat - w).max(axis=(0, 1, 2))
+    assert (err <= step * 0.5 + 1e-7).all()
+
+
+def test_int8_dense_matches_f32(rng):
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    w_q, w_s = quantize_weights(jnp.asarray(w), axis=-1)
+    xs = jnp.float32(np.abs(x).max() / 127.0)
+    from tpuhar.ops.quant import quantize_activations
+
+    x_q = quantize_activations(jnp.asarray(x), xs)
+    got = np.asarray(int8_dense(x_q, w_q, xs, w_s))
+    want = x @ w
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.03
+
+
+def test_int8_conv_matches_f32(rng):
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 8, 16)).astype(np.float32)
+    w_q, w_s = quantize_weights(jnp.asarray(w), axis=-1)
+    xs = jnp.float32(np.abs(x).max() / 127.0)
+    from tpuhar.ops.quant import quantize_activations
+
+    x_q = quantize_activations(jnp.asarray(x), xs)
+    got = np.asarray(int8_conv(x_q, w_q, xs, w_s.reshape(-1)))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), "SAME", dimension_numbers=dn
+        )
+    )
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.03
+
+
+def test_fold_bn_exact(rng):
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    bias = rng.normal(size=8).astype(np.float32)
+    mean = rng.normal(size=8).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    conv = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "SAME", dimension_numbers=dn
+    )
+    bn = (conv - mean) / np.sqrt(var + 1e-5) * scale + bias
+
+    k2, b2 = fold_bn(jnp.asarray(w), scale, bias, mean, var)
+    folded = (
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x), k2, (1, 1), "SAME", dimension_numbers=dn
+        )
+        + b2
+    )
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(bn), atol=1e-4)
+
+
+def test_quantized_resnet18_small_drift(rng):
+    """Calibrate + quantize a random resnet18; int8 features stay close to f32."""
+    net = ResNet18()
+    frames = rng.normal(0, 1.0, size=(4, 64, 64, 3)).astype(np.float32)
+    variables = net.init(KEY, jnp.asarray(frames))
+    params, bs = variables["params"], variables["batch_stats"]
+
+    f32_out = np.asarray(net.apply(variables, jnp.asarray(frames), train=False))
+
+    stats = calibrate_resnet18(params, bs, frames)
+    assert "stem" in stats and "layer3_1.mid" in stats
+    q = quantize_resnet18(params, bs, stats)
+    q_out = np.asarray(quant_resnet18_forward(q, jnp.asarray(frames)))
+
+    assert q_out.shape == f32_out.shape
+    denom = np.abs(f32_out).mean() + 1e-8
+    rel = np.abs(q_out - f32_out).mean() / denom
+    assert rel < 0.15, f"quantization drift {rel:.3f}"
+    # rankings should broadly agree
+    corr = np.corrcoef(q_out.ravel(), f32_out.ravel())[0, 1]
+    assert corr > 0.98

@@ -1,0 +1,211 @@
+"""Post-training int8 quantization for the serving path.
+
+The serving bottleneck is the video tower's activation bandwidth and MXU rate at bf16
+(see docs/DESIGN.md perf model); int8 halves activation traffic and doubles MXU
+throughput on TPU.  This module provides:
+
+- symmetric per-output-channel weight quantization,
+- per-tensor activation scale calibration (absmax over calibration batches),
+- quantized conv/dense primitives (int8 × int8 → int32 accumulate, rescale in f32),
+- a calibrate-and-quantize driver for the Flax ResNet-18 backbone producing a
+  quantized parameter tree consumed by ``QuantResNet18``.
+
+Accuracy contract: activations are quantized per tensor after the preceding ReLU
+(non-negative → effectively 7-bit unsigned range used symmetrically); weights per
+output channel.  Golden tests check end-to-end logit drift on random nets stays small.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def quantize_weights(w: jax.Array, axis: int = -1) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-channel int8 weight quantization along ``axis`` (output channels).
+
+    Returns ``(w_int8, scale)`` with ``w ≈ w_int8 * scale`` (scale broadcastable).
+    """
+    reduce_axes = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    absmax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def quantize_activations(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Per-tensor symmetric int8 activation quantization with a calibrated scale."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def int8_conv(
+    x_q: jax.Array,
+    w_q: jax.Array,
+    x_scale,
+    w_scale: jax.Array,
+    *,
+    strides=(1, 1),
+    padding="SAME",
+) -> jax.Array:
+    """int8 NHWC conv with int32 accumulation, rescaled to f32.
+
+    ``w_scale`` is per-output-channel ``(1,1,1,K)``-broadcastable.
+    """
+    dn = jax.lax.conv_dimension_numbers(x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * w_scale.reshape(1, 1, 1, -1))
+
+
+def int8_dense(x_q, w_q, x_scale, w_scale):
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * w_scale.reshape(-1))
+
+
+def fold_bn(conv_kernel, bn_scale, bn_bias, bn_mean, bn_var, eps: float = 1e-5):
+    """Fold inference-mode BatchNorm into the preceding conv: returns (kernel', bias').
+
+    ``BN(conv(x)) = conv(x)·g + b`` with ``g = scale/sqrt(var+eps)`` and
+    ``b = bias − mean·g``; folding removes one full elementwise pass over the
+    activation tensor per conv.
+    """
+    g = bn_scale / jnp.sqrt(bn_var + eps)
+    kernel = conv_kernel * g.reshape(1, 1, 1, -1)
+    bias = bn_bias - bn_mean * g
+    return kernel, bias
+
+
+# ---------------------------------------------------------------------------------
+# Quantized ResNet-18 backbone
+# ---------------------------------------------------------------------------------
+def _observed(stats: Dict, name: str, x: jax.Array) -> None:
+    stats[name] = max(stats.get(name, 0.0), float(jnp.max(jnp.abs(x))))
+
+
+def calibrate_resnet18(params, batch_stats, frames, n_layers_hint=None) -> Dict[str, float]:
+    """Run calibration frames through the f32 ResNet-18, recording per-site absmax.
+
+    Returns ``{site_name: absmax}`` used to fix activation scales.  Sites are the
+    inputs of every conv (post previous ReLU).
+    """
+    from ..models.video import ResNet18
+
+    stats: Dict[str, float] = {}
+    net = ResNet18()
+
+    # re-run the forward manually mirroring ResNet18's structure so we can observe
+    # every conv input
+    p, bs = params, batch_stats
+    x = jnp.asarray(frames)
+    _observed(stats, "stem", x)
+    x = _conv_bn_relu(x, p["stem_conv"], p["stem_bn"], bs["stem_bn"], strides=(2, 2), pad=[(3, 3), (3, 3)])
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    for li in range(4):
+        for bi in range(2):
+            name = f"layer{li}_{bi}"
+            bp, bbs = p[name], bs[name]
+            strides = (2, 2) if (bi == 0 and li > 0) else (1, 1)
+            _observed(stats, f"{name}.in", x)
+            h = _conv_bn_relu(x, bp["conv1"], bp["bn1"], bbs["bn1"], strides=strides, pad=[(1, 1), (1, 1)])
+            _observed(stats, f"{name}.mid", h)
+            h = _conv_bn(h, bp["conv2"], bp["bn2"], bbs["bn2"], strides=(1, 1), pad=[(1, 1), (1, 1)])
+            res = x
+            if "downsample_conv" in bp:
+                res = _conv_bn(x, bp["downsample_conv"], bp["downsample_bn"], bbs["downsample_bn"], strides=strides, pad="VALID")
+            x = nn.relu(h + res)
+    return stats
+
+
+def _conv_bn_relu(x, conv_p, bn_p, bn_s, *, strides, pad):
+    return nn.relu(_conv_bn(x, conv_p, bn_p, bn_s, strides=strides, pad=pad))
+
+
+def _conv_bn(x, conv_p, bn_p, bn_s, *, strides, pad):
+    kernel, bias = fold_bn(
+        conv_p["kernel"], bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]
+    )
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    return (
+        jax.lax.conv_general_dilated(
+            x, kernel, strides, pad, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )
+
+
+def quantize_resnet18(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
+    """Fold BN + quantize every conv; returns the quantized parameter tree."""
+
+    def site_scale(name):
+        return jnp.float32(max(act_stats.get(name, 1.0), 1e-6) / 127.0)
+
+    q: Dict = {"act_scales": {k: site_scale(k) for k in act_stats}}
+
+    def pack(conv_p, bn_p, bn_s):
+        kernel, bias = fold_bn(
+            conv_p["kernel"], bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]
+        )
+        w_q, w_s = quantize_weights(kernel, axis=-1)
+        return {"w_q": w_q, "w_scale": w_s.reshape(-1), "bias": bias}
+
+    q["stem"] = pack(params["stem_conv"], params["stem_bn"], batch_stats["stem_bn"])
+    for li in range(4):
+        for bi in range(2):
+            name = f"layer{li}_{bi}"
+            bp, bbs = params[name], batch_stats[name]
+            entry = {
+                "conv1": pack(bp["conv1"], bp["bn1"], bbs["bn1"]),
+                "conv2": pack(bp["conv2"], bp["bn2"], bbs["bn2"]),
+            }
+            if "downsample_conv" in bp:
+                entry["downsample"] = pack(
+                    bp["downsample_conv"], bp["downsample_bn"], bbs["downsample_bn"]
+                )
+            q[name] = entry
+    return q
+
+
+def quant_resnet18_forward(q: Dict, frames: jax.Array) -> jax.Array:
+    """int8 ResNet-18 feature extractor: frames (B,H,W,3) f32 → (B,512) f32."""
+    scales = q["act_scales"]
+
+    def qconv(x, packed, site, *, strides, pad, relu):
+        xs = scales[site]
+        x_q = quantize_activations(x, xs)
+        y = int8_conv(
+            x_q, packed["w_q"], xs, packed["w_scale"], strides=strides, padding=pad
+        ) + packed["bias"]
+        return nn.relu(y) if relu else y
+
+    x = qconv(frames, q["stem"], "stem", strides=(2, 2), pad=[(3, 3), (3, 3)], relu=True)
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    for li in range(4):
+        for bi in range(2):
+            name = f"layer{li}_{bi}"
+            entry = q[name]
+            strides = (2, 2) if (bi == 0 and li > 0) else (1, 1)
+            h = qconv(
+                x, entry["conv1"], f"{name}.in", strides=strides,
+                pad=[(1, 1), (1, 1)], relu=True,
+            )
+            h = qconv(
+                h, entry["conv2"], f"{name}.mid", strides=(1, 1),
+                pad=[(1, 1), (1, 1)], relu=False,
+            )
+            res = x
+            if "downsample" in entry:
+                res = qconv(
+                    x, entry["downsample"], f"{name}.in", strides=strides,
+                    pad="VALID", relu=False,
+                )
+            x = nn.relu(h + res)
+    return jnp.mean(x, axis=(1, 2))
