@@ -171,7 +171,19 @@ class FusionClassifier(nn.Module):
     def __call__(self, imu, video, *, train: bool = False):
         _, imu_tokens = self.imu_encoder(imu, train=train)
         _, video_tokens = self.video_encoder(video, train=train)
+        return self._fuse(imu_tokens, video_tokens, train)
 
+    def fuse_with_tokens(self, imu, video_tokens, *, train: bool = False):
+        """Forward with externally-computed video tokens (``(B, N, video_d_model)``).
+
+        Lets alternative video towers — e.g. the int8-quantized ResNet-18 serving
+        path (``tpuhar.ops.quant``) — reuse the fusion/classifier stack:
+        ``model.apply(vars, imu, tokens, method=FusionClassifier.fuse_with_tokens)``.
+        """
+        _, imu_tokens = self.imu_encoder(imu, train=train)
+        return self._fuse(imu_tokens, video_tokens, train)
+
+    def _fuse(self, imu_tokens, video_tokens, train: bool):
         hi = self.imu_to_fusion(imu_tokens)
         hv = self.video_to_fusion(video_tokens)
         for ib, vb in zip(self.imu_blocks, self.video_blocks):
