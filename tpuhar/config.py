@@ -172,6 +172,10 @@ class ModelConfig:
     # activation memory when pretraining with large batches.
     remat_video: bool = False
 
+    # Pallas flash attention in the video ViT (TPU only; falls back to XLA attention
+    # elsewhere).
+    use_flash_attention: bool = False
+
     # --- quirk-replication flags (SURVEY.md §2.1) ---
     # Q1: reference truncates the IMU token stream from 1+C*N=91 tokens to
     # max_patches+1=16, so the transformer only ever sees channel 0. Default False sizes

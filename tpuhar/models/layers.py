@@ -66,24 +66,39 @@ class TransformerEncoderBlock(nn.Module):
 
 
 class PreNormBlock(nn.Module):
-    """Pre-norm ViT-style block (used by the video ViT; GELU MLP)."""
+    """Pre-norm ViT-style block (used by the video ViT; GELU MLP).
+
+    ``use_flash=True`` swaps self-attention to the Pallas flash kernel
+    (``tpuhar.ops.attention``) with identical parameter names/shapes.
+    """
 
     d_model: int
     num_heads: int
     d_ff: int
     dropout: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            dropout_rate=self.dropout,
-            dtype=self.dtype,
-            name="self_attn",
-        )(h, h, deterministic=deterministic)
+        if self.use_flash:
+            from ..ops.attention import FlashSelfAttention
+
+            h = FlashSelfAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.d_model,
+                dtype=self.dtype,
+                name="self_attn",
+            )(h, deterministic=deterministic)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.d_model,
+                dropout_rate=self.dropout,
+                dtype=self.dtype,
+                name="self_attn",
+            )(h, h, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)

@@ -75,6 +75,8 @@ class VideoViT(nn.Module):
     # ~33% more FLOPs for O(depth) less activation HBM — enables larger pretraining
     # batches on the 1568-token stream.
     remat: bool = False
+    # Pallas flash attention for the (long) token stream; TPU only.
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,6 +97,7 @@ class VideoViT(nn.Module):
                 num_heads=self.num_heads,
                 d_ff=self.d_model * self.mlp_ratio,
                 dropout=self.dropout,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, not train)
@@ -268,6 +271,7 @@ class VideoEncoder(nn.Module):
     video_d_model: int = 768
     pool: str = "mean"
     remat: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -278,7 +282,8 @@ class VideoEncoder(nn.Module):
             depth, d_model, heads = VIT_CONFIGS[self.backbone]
             emb, tokens = VideoViT(
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
-                remat=self.remat, dtype=self.dtype, name="vit",
+                remat=self.remat, use_flash=self.use_flash, dtype=self.dtype,
+                name="vit",
             )(x, train=train)
             proj = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")
             emb = proj(emb.astype(self.dtype)).astype(jnp.float32)
@@ -315,5 +320,6 @@ def build_video_encoder(config, dtype=None):
         backbone=backbone,
         video_d_model=m.video_d_model,
         remat=m.remat_video,
+        use_flash=m.use_flash_attention,
         dtype=dtype,
     )
