@@ -85,7 +85,6 @@ def _sample_runs(train_df: pd.DataFrame, k: int, runs: int):
 
 def _batched_eval_confusions(vpredict, states, bank, labels, num_classes):
     """Per-run confusion matrices over a shared eval set: returns (R, C, C)."""
-    R = labels_len = None
     n = len(labels)
     cms = None
     for start in range(0, n, EVAL_BS):
@@ -103,7 +102,6 @@ def _batched_eval_confusions(vpredict, states, bank, labels, num_classes):
         out = vpredict(states, batch)  # preds: (R, EVAL_BS)
         preds = out["preds"]
         valid = out["valid"][0] if out["valid"].ndim == 2 else out["valid"]
-        R = preds.shape[0]
         onehot_rows = jax.nn.one_hot(lab, num_classes)  # (B, C) true
         # scatter per run: cm[r, true, pred] += valid
         cm_batch = jnp.einsum(

@@ -90,16 +90,13 @@ def _observed(stats: Dict, name: str, x: jax.Array) -> None:
     stats[name] = max(stats.get(name, 0.0), float(jnp.max(jnp.abs(x))))
 
 
-def calibrate_resnet18(params, batch_stats, frames, n_layers_hint=None) -> Dict[str, float]:
+def calibrate_resnet18(params, batch_stats, frames) -> Dict[str, float]:
     """Run calibration frames through the f32 ResNet-18, recording per-site absmax.
 
     Returns ``{site_name: absmax}`` used to fix activation scales.  Sites are the
     inputs of every conv (post previous ReLU).
     """
-    from ..models.video import ResNet18
-
     stats: Dict[str, float] = {}
-    net = ResNet18()
 
     # re-run the forward manually mirroring ResNet18's structure so we can observe
     # every conv input
