@@ -120,6 +120,11 @@ class DataConfig:
     # STFT parameters (used when imu_featurizer == "stft")
     stft_nperseg: int = 64
     stft_hop: int = 32
+    # Offline frame extraction: preprocessing decodes each video once and caches the
+    # selected frames as JPEGs ({split}_frames.bin); training then avoids per-epoch
+    # mp4 seek-decoding entirely (the reference seeks 16x per clip per epoch).
+    extract_frames: bool = True
+    frame_jpeg_quality: int = 90
 
 
 @dataclass

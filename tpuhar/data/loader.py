@@ -74,6 +74,29 @@ def load_imu_window(imu_path: str, preprocessed_dir, channels: int, window: int)
 # ---------------------------------------------------------------------------------
 # Video clip decoding (datasets.py:155-235 semantics, sequential read)
 # ---------------------------------------------------------------------------------
+def clip_frame_indices(
+    total_frames: int,
+    fps: float,
+    start_frame: int,
+    *,
+    num_frames: int,
+    window_seconds: float,
+) -> np.ndarray:
+    """Uniform frame-index selection for one clip (reference ``datasets.py:191-206``).
+
+    Shared by the online decoder and the offline frame extractor so the cached frames
+    are exactly the frames the online path would pick.
+    """
+    window_frames = max(int(round(window_seconds * fps)), 1)
+    start = int(np.clip(start_frame, 0, max(total_frames - 1, 0)))
+    end = min(start + window_frames - 1, total_frames - 1)
+    if end >= start:
+        idx = np.linspace(start, end, num_frames).astype(int)
+    else:
+        idx = np.full((num_frames,), start, dtype=int)
+    return np.clip(idx, 0, total_frames - 1)
+
+
 def decode_clip(
     video_path,
     start_frame: int,
@@ -109,14 +132,10 @@ def decode_clip(
         if fps <= 1e-6:
             fps = fallback_fps
 
-        window_frames = max(int(round(window_seconds * fps)), 1)
-        start = int(np.clip(start_frame, 0, max(total - 1, 0)))
-        end = min(start + window_frames - 1, total - 1)
-        if end >= start:
-            idx = np.linspace(start, end, num_frames).astype(int)
-        else:
-            idx = np.full((num_frames,), start, dtype=int)
-        idx = np.clip(idx, 0, total - 1)
+        idx = clip_frame_indices(
+            total, fps, start_frame, num_frames=num_frames,
+            window_seconds=window_seconds,
+        )
 
         out = black.copy()
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx[0]))
@@ -182,6 +201,33 @@ class BatchLoader:
         self.window = d.imu_window_size
         self.window_seconds = d.imu_window_size / float(d.imu_sampling_rate)
         self._banks = self._open_banks()
+        self._frame_banks = self._open_frame_banks() if mode == "cross_modal" else None
+
+    def _open_frame_banks(self):
+        """Open per-split JPEG frame banks written by the preprocessor, if present.
+
+        Cached frames replace per-epoch mp4 seek-decoding (~100 ms/clip) with ~16
+        small JPEG decodes (~1 ms each); rows without cached frames fall back to the
+        online decoder.
+        """
+        if "bank_idx" not in self.df.columns or "split" not in self.df.columns:
+            return None
+        from .frames import FrameBankReader
+
+        banks = {}
+        for split in self.df["split"].unique():
+            base = Path(self.config.paths.preprocessed_dir)
+            bin_path = base / f"{split}_frames.bin"
+            idx_path = base / f"{split}_frame_index.npy"
+            if not (bin_path.exists() and idx_path.exists()):
+                return None
+            reader = FrameBankReader(bin_path, idx_path)
+            if reader.table.shape[1] != self.config.data.video_frames_per_window:
+                return None
+            if int(self.df[self.df["split"] == split]["bank_idx"].max()) >= len(reader):
+                return None
+            banks[split] = reader
+        return banks
 
     def _open_banks(self):
         """Memory-map packed per-split window banks when available.
@@ -256,6 +302,14 @@ class BatchLoader:
 
             def _decode(i_row):
                 i, row = i_row
+                if self._frame_banks is not None:
+                    reader = self._frame_banks[row["split"]]
+                    r = int(row["bank_idx"])
+                    if reader.has_frames(r):
+                        video[i] = reader.read_clip(r, (H, W))
+                        return
+                    if not bool(row.get("video_exists", True)):
+                        return  # black clip
                 video[i] = decode_clip(
                     base / str(row["video_path"]),
                     int(row.get("start_frame", 0)),

@@ -179,6 +179,17 @@ class Preprocessor:
         records = []
         all_windows = []
 
+        frame_writer = None
+        if save and getattr(d, "extract_frames", False):
+            from .frames import FrameBankWriter
+
+            frame_writer = FrameBankWriter(
+                Path(self.paths.preprocessed_dir) / f"{split}_frames.bin",
+                num_frames=int(d.video_frames_per_window),
+                resize_hw=tuple(d.video_resize),
+                jpeg_quality=int(d.frame_jpeg_quality),
+            )
+
         for line in lines:
             try:
                 info = M.parse_split_line(line)
@@ -224,6 +235,7 @@ class Preprocessor:
             if save:
                 out_dir.mkdir(parents=True, exist_ok=True)
 
+            window_start_frames = []
             for w_idx, window in enumerate(windows):
                 self.preprocessing_stats["total_windows"] += 1
                 start_frame = M.estimate_start_frame(
@@ -244,6 +256,19 @@ class Preprocessor:
                 rec["bank_idx"] = len(records)
                 records.append(rec)
                 all_windows.append(window.astype(np.float32))
+                window_start_frames.append(start_frame)
+
+            if frame_writer is not None:
+                if video_ok:
+                    frame_writer.add_video(
+                        Path(self.paths.base_input) / info.video_path,
+                        window_start_frames,
+                        window_seconds=float(d.imu_window_size)
+                        / float(d.imu_sampling_rate),
+                        fallback_fps=float(d.video_fps),
+                    )
+                else:
+                    frame_writer.add_missing(len(window_start_frames))
 
         df = pd.DataFrame(records)
         if save:
@@ -256,6 +281,10 @@ class Preprocessor:
                 np.save(
                     Path(self.paths.preprocessed_dir) / f"{split}_windows.npy",
                     np.stack(all_windows),
+                )
+            if frame_writer is not None:
+                frame_writer.finalize(
+                    Path(self.paths.preprocessed_dir) / f"{split}_frame_index.npy"
                 )
         return df
 

@@ -32,7 +32,8 @@ def flash_mha(
     v: jax.Array,
     *,
     sm_scale: Optional[float] = None,
-    block_size: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     use_flash: bool = True,
 ) -> jax.Array:
     """Multi-head attention over ``(B, H, N, D)`` tensors.
@@ -54,25 +55,29 @@ def flash_mha(
         flash_attention,
     )
 
-    pad = (-N) % block_size
+    # pad to lcm-ish multiple of the larger block so both q and k tile evenly
+    block = max(block_q, block_k)
+    pad = (-N) % block
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
     Np = N + pad
+    bq = min(block_q, Np)
+    bk = min(block_k, Np)
     seg = (jnp.arange(Np) < N).astype(jnp.int32)[None, :].repeat(B, axis=0)
     bs = BlockSizes(
-        block_q=min(block_size, Np),
-        block_k_major=min(block_size, Np),
-        block_k=min(block_size, Np),
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
         block_b=1,
-        block_q_major_dkv=min(block_size, Np),
-        block_k_major_dkv=min(block_size, Np),
-        block_k_dkv=min(block_size, Np),
-        block_q_dkv=min(block_size, Np),
-        block_k_major_dq=min(block_size, Np),
-        block_k_dq=min(block_size, Np),
-        block_q_dq=min(block_size, Np),
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
     )
     out = flash_attention(
         q, k, v,
