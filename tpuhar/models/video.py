@@ -239,6 +239,58 @@ class MobileNetV2(nn.Module):
         return jnp.mean(h, axis=(1, 2))
 
 
+class TPUVideoCNN(nn.Module):
+    """TPU-efficient per-frame CNN designed from measured MXU utilization.
+
+    No reference counterpart — an *additional* video tower in the zoo, designed for
+    the v5e serving north star: a space-to-depth stem avoids the 3-channel
+    low-occupancy problem (224²×3 → 56²×48 with zero FLOPs), every conv runs at
+    ≥128 channels (full MXU lanes), and stages are plain 3×3 residual pairs.
+    """
+
+    widths: Tuple[int, int, int] = (128, 256, 512)
+    blocks_per_stage: int = 2
+    s2d: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, H, W, C = x.shape
+        s = self.s2d
+        # space-to-depth: (B, H, W, C) → (B, H/s, W/s, C·s²)
+        h = x.reshape(B, H // s, s, W // s, s, C)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, C * s * s)
+
+        def conv_bn_relu(h, feats, *, stride, name):
+            h = nn.Conv(
+                feats, (3, 3), strides=(stride, stride), padding="SAME",
+                use_bias=False, dtype=self.dtype, name=f"{name}_conv",
+            )(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                name=f"{name}_bn",
+            )(h)
+            return nn.relu(h)
+
+        h = conv_bn_relu(h, self.widths[0], stride=1, name="stem")
+        for si, feats in enumerate(self.widths):
+            if si > 0:
+                h = conv_bn_relu(h, feats, stride=2, name=f"down{si}")
+            for bi in range(self.blocks_per_stage):
+                residual = h
+                h2 = conv_bn_relu(h, feats, stride=1, name=f"s{si}b{bi}a")
+                h2 = nn.Conv(
+                    feats, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+                    name=f"s{si}b{bi}b_conv",
+                )(h2)
+                h2 = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                    name=f"s{si}b{bi}b_bn",
+                )(h2)
+                h = nn.relu(h2 + residual)
+        return jnp.mean(h, axis=(1, 2))
+
+
 class TinyVideoCNN(nn.Module):
     """3-layer per-frame CNN for tests/CI (no reference counterpart; CI stand-in)."""
 
@@ -253,7 +305,12 @@ class TinyVideoCNN(nn.Module):
         return jnp.mean(h, axis=(1, 2))
 
 
-CNN_FEATURE_DIMS = {"resnet18": 512, "mobilenet_v2": 1280, "tiny_cnn": 64}
+CNN_FEATURE_DIMS = {
+    "resnet18": 512,
+    "mobilenet_v2": 1280,
+    "tiny_cnn": 64,
+    "tpu_cnn": 512,
+}
 
 
 class VideoEncoder(nn.Module):
@@ -294,6 +351,8 @@ class VideoEncoder(nn.Module):
             net = ResNet18(dtype=self.dtype, name="backbone")
         elif self.backbone == "mobilenet_v2":
             net = MobileNetV2(dtype=self.dtype, name="backbone")
+        elif self.backbone == "tpu_cnn":
+            net = TPUVideoCNN(dtype=self.dtype, name="backbone")
         elif self.backbone == "tiny_cnn":
             net = TinyVideoCNN(dtype=self.dtype, name="backbone")
         else:
