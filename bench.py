@@ -36,7 +36,11 @@ def main():
     from __graft_entry__ import _build_forward, _flagship_config
 
     cfg = _flagship_config(tiny=(platform == "cpu"))
+    if len(sys.argv) > 1:  # optional: bench.py [backbone] [batch]
+        cfg.model.video_backbone = sys.argv[1]
     batch = 256 if platform != "cpu" else 8
+    if len(sys.argv) > 2:
+        batch = int(sys.argv[2])
 
     fn, (imu_ex, video_ex) = _build_forward(cfg, batch)
     jfn = jax.jit(fn)

@@ -240,17 +240,24 @@ class MobileNetV2(nn.Module):
 
 
 class TPUVideoCNN(nn.Module):
-    """TPU-efficient per-frame CNN designed from measured MXU utilization.
+    """TPU-efficient per-frame CNN designed from measured v5e MXU utilization.
 
-    No reference counterpart — an *additional* video tower in the zoo, designed for
-    the v5e serving north star: a space-to-depth stem avoids the 3-channel
-    low-occupancy problem (224²×3 → 56²×48 with zero FLOPs), every conv runs at
-    ≥128 channels (full MXU lanes), and stages are plain 3×3 residual pairs.
+    No reference counterpart — an *additional* tower designed tpu-first for the
+    serving north star.  Measured per-shape conv rates on v5e (scripts/
+    perf_conv_shapes.py): 64-channel convs reach 26% of peak, 128ch 45%, 256ch 65%,
+    512ch 88%.  ResNet-18 spends most FLOPs at 64ch; this design never goes below
+    ``widths[0]`` channels:
+
+    - space-to-depth(8): 224²×3 → 28²×192, zero FLOPs (kills the 3-channel stem),
+    - stride-2 3×3 stem to ``widths[0]`` at 14²,
+    - residual 3×3 stages at 14² and 7², all ≥384 channels.
+
+    ~2 GFLOP/frame (≈ ResNet-18) at ~2.3× its utilization.
     """
 
-    widths: Tuple[int, int, int] = (128, 256, 512)
-    blocks_per_stage: int = 2
-    s2d: int = 4
+    widths: Tuple[int, int] = (384, 512)
+    blocks_per_stage: int = 1
+    s2d: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -272,7 +279,8 @@ class TPUVideoCNN(nn.Module):
             )(h)
             return nn.relu(h)
 
-        h = conv_bn_relu(h, self.widths[0], stride=1, name="stem")
+        # stem: stride-2 into the first stage width (28² → 14²)
+        h = conv_bn_relu(h, self.widths[0], stride=2, name="stem")
         for si, feats in enumerate(self.widths):
             if si > 0:
                 h = conv_bn_relu(h, feats, stride=2, name=f"down{si}")
