@@ -23,6 +23,8 @@ def capture(logdir: str, batch: int = 256):
     from __graft_entry__ import _build_forward, _flagship_config
 
     cfg = _flagship_config()
+    if len(sys.argv) > 1:
+        cfg.model.video_backbone = sys.argv[1]
     fn, (imu_ex, video_ex) = _build_forward(cfg, batch)
     jfn = jax.jit(fn)
     npr = np.random.default_rng(0)
@@ -39,29 +41,23 @@ def capture(logdir: str, batch: int = 256):
 
 
 def summarize(logdir: str, top: int = 30):
-    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    if not paths:
-        log("no xplane files found")
-        return
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    import json as _json
 
+    paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        log("no trace json found")
+        return
     totals = defaultdict(float)
+    counts = defaultdict(int)
     for path in paths:
-        xs = xplane_pb2.XSpace()
-        xs.ParseFromString(open(path, "rb").read())
-        for plane in xs.planes:
-            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-                continue
-            ev_meta = plane.event_metadata
-            for line in plane.lines:
-                for ev in line.events:
-                    name = ev_meta[ev.metadata_id].name
-                    totals[name] += ev.duration_ps / 1e9  # → ms
+        data = _json.loads(gzip.open(path).read())
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and "dur" in e:
+                totals[e.get("name", "?")] += e["dur"] / 1e3
+                counts[e.get("name", "?")] += 1
     items = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-    total = sum(totals.values())
-    log(f"total device event time: {total:.1f} ms (3 steps)")
     for name, ms in items:
-        log(f"{ms:10.2f} ms  {name[:110]}")
+        log(f"{ms:10.2f} ms  x{counts[name]:<4} {name[:100]}")
 
 
 if __name__ == "__main__":

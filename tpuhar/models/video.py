@@ -264,9 +264,14 @@ class TPUVideoCNN(nn.Module):
     def __call__(self, x, *, train: bool = False):
         B, H, W, C = x.shape
         s = self.s2d
-        # space-to-depth: (B, H, W, C) → (B, H/s, W/s, C·s²)
-        h = x.reshape(B, H // s, s, W // s, s, C)
-        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, C * s * s)
+        if C == 3:
+            # space-to-depth: (B, H, W, 3) → (B, H/s, W/s, 3·s²)
+            h = x.reshape(B, H // s, s, W // s, s, C)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, C * s * s)
+        else:
+            # input already rearranged upstream (ops.video.prepare_clip does it on
+            # uint8 where the copy is 4× cheaper)
+            h = x
 
         def conv_bn_relu(h, feats, *, stride, name):
             h = nn.Conv(

@@ -35,6 +35,38 @@ def normalize_clip(
     return video_u8.astype(dtype) * scale + offset
 
 
+def space_to_depth_clip(video: jax.Array, s: int) -> jax.Array:
+    """(B, T, H, W, C) → (B, T, H/s, W/s, C·s²).
+
+    Do this on the **uint8** pixels: the strided transpose is a pure copy, and at 1
+    byte/px it costs 4× less HBM traffic than after normalization (profiling showed
+    the f32 s2d reshape alone cost ~23 ms/step for the tpu_cnn flagship).
+    """
+    B, T, H, W, C = video.shape
+    x = video.reshape(B, T, H // s, s, W // s, s, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(B, T, H // s, W // s, s * s * C)
+
+
+def prepare_clip(video_u8: jax.Array, *, s2d: int = 0, dtype=jnp.float32) -> jax.Array:
+    """uint8 clip → normalized model input, with optional fused space-to-depth.
+
+    With ``s2d > 0`` the pixels are rearranged *before* normalization (cheap uint8
+    copy) and the ImageNet constants are tiled to the s²·3 channel layout, so the
+    backbone receives pre-s2d features and skips its own (expensive f32) rearrange.
+    """
+    if s2d and s2d > 1:
+        video_u8 = space_to_depth_clip(video_u8, s2d)
+        reps = s2d * s2d
+        return normalize_clip(
+            video_u8,
+            mean=tuple(IMAGENET_MEAN) * reps,
+            std=tuple(IMAGENET_STD) * reps,
+            dtype=dtype,
+        )
+    return normalize_clip(video_u8, dtype=dtype)
+
+
 def resize_clip(video: jax.Array, height: int, width: int, method: str = "bilinear") -> jax.Array:
     """Resize ``(B, T, H, W, C)`` clips on device via ``jax.image.resize``."""
     B, T, _, _, C = video.shape
