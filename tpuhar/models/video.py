@@ -243,55 +243,54 @@ class TPUVideoCNN(nn.Module):
     """TPU-efficient per-frame CNN designed from measured v5e MXU utilization.
 
     No reference counterpart — an *additional* tower designed tpu-first for the
-    serving north star.  Measured per-shape conv rates on v5e (scripts/
-    perf_conv_shapes.py): 64-channel convs reach 26% of peak, 128ch 45%, 256ch 65%,
-    512ch 88%.  ResNet-18 spends most FLOPs at 64ch; this design never goes below
-    ``widths[0]`` channels:
+    serving north star.  Measured per-shape conv rates on v5e
+    (scripts/perf_conv_shapes.py): 64-channel convs reach 26% of peak, 128ch 45%,
+    256ch 65%, 512ch 88%.  ResNet-18 spends most FLOPs at 64 channels; this design:
 
-    - space-to-depth(8): 224²×3 → 28²×192, zero FLOPs (kills the 3-channel stem),
-    - stride-2 3×3 stem to ``widths[0]`` at 14²,
-    - residual 3×3 stages at 14² and 7², all ≥384 channels.
+    - a ViT-style ``patch×patch`` stride-``patch`` patch-embed stem (lowers to one
+      GEMM with K = patch²·3 — no small-channel penalty, no space-to-depth copies),
+    - residual 3×3 stages at 14² and 7², all ≥``widths[0]`` channels.
 
-    ~2 GFLOP/frame (≈ ResNet-18) at ~2.3× its utilization.
+    ~1.8 GFLOP/frame (≈ ResNet-18) at ~2.5× its utilization.
     """
 
     widths: Tuple[int, int] = (384, 512)
     blocks_per_stage: int = 1
-    s2d: int = 8
+    patch: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        B, H, W, C = x.shape
-        s = self.s2d
-        if C == 3:
-            # space-to-depth: (B, H, W, 3) → (B, H/s, W/s, 3·s²)
-            h = x.reshape(B, H // s, s, W // s, s, C)
-            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s, C * s * s)
-        else:
-            # input already rearranged upstream (ops.video.prepare_clip does it on
-            # uint8 where the copy is 4× cheaper)
-            h = x
-
-        def conv_bn_relu(h, feats, *, stride, name):
-            h = nn.Conv(
-                feats, (3, 3), strides=(stride, stride), padding="SAME",
-                use_bias=False, dtype=self.dtype, name=f"{name}_conv",
-            )(h)
+        def bn_relu(h, name):
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype,
                 name=f"{name}_bn",
             )(h)
             return nn.relu(h)
 
-        # stem: stride-2 into the first stage width (28² → 14²)
-        h = conv_bn_relu(h, self.widths[0], stride=2, name="stem")
+        # patch-embed stem: (B, H, W, 3) → (B, H/p, W/p, widths[0]); stride==kernel
+        # lowers to reshape + GEMM on the MXU
+        h = nn.Conv(
+            self.widths[0], (self.patch, self.patch),
+            strides=(self.patch, self.patch), padding="VALID", use_bias=False,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        h = bn_relu(h, "stem")
+
         for si, feats in enumerate(self.widths):
             if si > 0:
-                h = conv_bn_relu(h, feats, stride=2, name=f"down{si}")
+                h = nn.Conv(
+                    feats, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name=f"down{si}_conv",
+                )(h)
+                h = bn_relu(h, f"down{si}")
             for bi in range(self.blocks_per_stage):
                 residual = h
-                h2 = conv_bn_relu(h, feats, stride=1, name=f"s{si}b{bi}a")
+                h2 = nn.Conv(
+                    feats, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+                    name=f"s{si}b{bi}a_conv",
+                )(h)
+                h2 = bn_relu(h2, f"s{si}b{bi}a")
                 h2 = nn.Conv(
                     feats, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
                     name=f"s{si}b{bi}b_conv",
