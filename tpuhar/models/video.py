@@ -251,10 +251,11 @@ class TPUVideoCNN(nn.Module):
       GEMM with K = patch²·3 — no small-channel penalty, no space-to-depth copies),
     - residual 3×3 stages at 14² and 7², all ≥``widths[0]`` channels.
 
-    ~1.8 GFLOP/frame (≈ ResNet-18) at ~2.5× its utilization.
+    Default widths (256, 512): ~1.0 GFLOP/frame at ~65-88%% utilization — measured
+    ~6,300 fused inferences/s/chip vs ResNet-18's 1,970 (3.2×).
     """
 
-    widths: Tuple[int, int] = (384, 512)
+    widths: Tuple[int, int] = (256, 512)
     blocks_per_stage: int = 1
     patch: int = 16
     dtype: jnp.dtype = jnp.float32
