@@ -206,3 +206,51 @@ def test_classification_learns_synthetic(synthetic_config):
     # history structure matches reference: list of dicts for classification
     assert isinstance(trainer.history["val"][0], dict)
     assert "balanced_accuracy" in trainer.history["val"][0]
+
+
+def test_trainer_resume_continues_from_epoch(synthetic_config, rng):
+    """fit → interrupt → fit(resume=True) continues from the next epoch with history."""
+    cfg = synthetic_config
+    cfg.model.imu_num_layers = 1
+    cfg.model.imu_d_model = 32
+    cfg.model.imu_nhead = 4
+    cfg.model.classifier_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.training.train_epochs = 2
+    cfg.training.train_batch_size = 8
+
+    from tpuhar.data.preprocess import Preprocessor
+
+    pp = Preprocessor(cfg)
+    dfs = {s: pp.preprocess_split(s, save=True) for s in ("train", "val")}
+
+    def make_trainer():
+        model = IMUClassifier(cfg, freeze_encoder=False)
+        ex = jnp.zeros((8, 6, 250))
+        variables = model.init(KEY, ex)
+        tx = make_classification_optimizer(cfg, 2, "finetune", variables["params"])
+        state = init_state(model, tx, KEY, ex)
+        ts, ps = make_classification_steps(model, cfg)
+        tr = ClassificationTrainer(
+            cfg, state, ts, ps,
+            cfg.paths.checkpoints_dir / "resume_test", KEY, "finetune",
+        )
+        tr.verbose = False
+        return tr
+
+    loaders = dict(
+        train=BatchLoader(dfs["train"], cfg, mode="classification", batch_size=8,
+                          shuffle=True, drop_last=True, prefetch=0),
+        val=BatchLoader(dfs["val"], cfg, mode="classification", batch_size=8, prefetch=0),
+    )
+    t1 = make_trainer()
+    t1.fit(loaders["train"], loaders["val"])  # runs epochs 0..1
+    assert len(t1.history["val"]) == 2
+
+    # "interrupted" second phase: extend epochs, resume from last checkpoint
+    cfg.training.train_epochs = 4
+    t2 = make_trainer()
+    t2.fit(loaders["train"], loaders["val"], resume=True)
+    assert t2.current_epoch == 3  # resumed at 2, ran 2 and 3
+    assert len(t2.history["val"]) == 4  # history carried over + extended

@@ -323,6 +323,7 @@ CNN_FEATURE_DIMS = {
     "mobilenet_v2": 1280,
     "tiny_cnn": 64,
     "tpu_cnn": 512,
+    "tpu_cnn_large": 512,
 }
 
 
@@ -366,6 +367,12 @@ class VideoEncoder(nn.Module):
             net = MobileNetV2(dtype=self.dtype, name="backbone")
         elif self.backbone == "tpu_cnn":
             net = TPUVideoCNN(dtype=self.dtype, name="backbone")
+        elif self.backbone == "tpu_cnn_large":
+            # accuracy-oriented variant: wider/deeper, still ≥384-channel stages
+            net = TPUVideoCNN(
+                widths=(384, 512), blocks_per_stage=2, dtype=self.dtype,
+                name="backbone",
+            )
         elif self.backbone == "tiny_cnn":
             net = TinyVideoCNN(dtype=self.dtype, name="backbone")
         else:
