@@ -171,6 +171,86 @@ class Preprocessor:
             return self._windows_host(raw)
         return self._windows_device(raw)
 
+    def make_windows_batch(self, raws: List[np.ndarray]) -> List[List[np.ndarray]]:
+        """Window many sequences at once.
+
+        The device path groups sequences by padding bucket and runs ONE vmapped
+        program per bucket (chunks of ≤128) — per-dispatch latency (which dominates
+        small programs on remote/tunneled TPUs) is amortized across the whole split
+        instead of paid per sequence.
+        """
+        if self.data_cfg.featurize_backend == "host":
+            return [self._windows_host(r) for r in raws]
+        return self._windows_device_batch(raws)
+
+    def _windows_device_batch(self, raws: List[np.ndarray]) -> List[List[np.ndarray]]:
+        import jax
+        import jax.numpy as jnp
+
+        d = self.data_cfg
+        window, stride = int(d.imu_window_size), int(d.imu_stride)
+
+        # per-sequence host-side fixups (resample / too-short skip), as in the
+        # streaming path
+        prepped: List[Optional[np.ndarray]] = []
+        for raw in raws:
+            n = raw.shape[0]
+            if d.imu_original_rate is not None and float(d.imu_original_rate) != float(
+                d.imu_sampling_rate
+            ):
+                n_target = int(
+                    round(n * float(d.imu_sampling_rate) / float(d.imu_original_rate))
+                )
+                if n_target > 1:
+                    raw = np.asarray(F.fourier_resample(jnp.asarray(raw), n_target))
+                    n = raw.shape[0]
+            if n < window and not d.pad_short_sequences:
+                self.preprocessing_stats["too_short_no_pad"] += 1
+                prepped.append(None)
+            else:
+                prepped.append(raw)
+
+        results: List[List[np.ndarray]] = [[] for _ in raws]
+        by_bucket: Dict[int, List[int]] = {}
+        for i, raw in enumerate(prepped):
+            if raw is None:
+                continue
+            bucket = _bucket_length(raw.shape[0], window, int(d.max_sequence_length))
+            by_bucket.setdefault(bucket, []).append(i)
+
+        batched = jax.jit(
+            jax.vmap(
+                lambda r, n: F.preprocess_sequence(
+                    r, n,
+                    window=window,
+                    stride=stride,
+                    kernel_size=int(d.median_filter_kernel),
+                    normalize=bool(d.normalize_imu),
+                    racc=float(d.Racc),
+                    rgyro=float(d.Rgyro),
+                )
+            )
+        )
+        CHUNK = 128
+        for bucket, idxs in by_bucket.items():
+            for start in range(0, len(idxs), CHUNK):
+                chunk = idxs[start : start + CHUNK]
+                stacked = np.zeros((len(chunk), bucket, 6), np.float32)
+                lengths = np.zeros((len(chunk),), np.int32)
+                for j, i in enumerate(chunk):
+                    raw = prepped[i]
+                    n_eff = min(raw.shape[0], bucket)
+                    stacked[j, :n_eff] = raw[:n_eff]
+                    lengths[j] = n_eff
+                windows, n_valid = jax.device_get(
+                    batched(jnp.asarray(stacked), jnp.asarray(lengths))
+                )
+                for j, i in enumerate(chunk):
+                    k = int(n_valid[j])
+                    w = np.asarray(windows[j, :k], dtype=np.float32)
+                    results[i] = [w[m] for m in range(k)]
+        return results
+
     # -- split driver (preprocessing.py:255-374) -----------------------------------
     def preprocess_split(self, split: str, save: bool = True) -> pd.DataFrame:
         lines = M.load_split_lines(self.config, split)
@@ -190,6 +270,8 @@ class Preprocessor:
                 jpeg_quality=int(d.frame_jpeg_quality),
             )
 
+        # Phase 1: parse, validate, and load raw sequences (host).
+        samples = []  # (info, line, video_ok, raw)
         for line in lines:
             try:
                 info = M.parse_split_line(line)
@@ -225,8 +307,14 @@ class Preprocessor:
             if raw is None or raw.size == 0:
                 self.preprocessing_stats["skipped_samples"] += 1
                 continue
+            samples.append((info, line, video_ok, raw))
 
-            windows = self.make_windows(raw)
+        # Phase 2: windowing for ALL sequences at once (device path batches per
+        # padding bucket → one vmapped dispatch per bucket chunk).
+        all_sample_windows = self.make_windows_batch([s[3] for s in samples])
+
+        # Phase 3: write artifacts in original sample order.
+        for (info, line, video_ok, _), windows in zip(samples, all_sample_windows):
             if not windows:
                 self.preprocessing_stats["skipped_samples"] += 1
                 continue
