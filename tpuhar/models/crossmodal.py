@@ -23,8 +23,6 @@ Design notes vs the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

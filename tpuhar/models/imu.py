@@ -14,7 +14,7 @@ TPU-first differences from the reference implementation (``src/models/models.py:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

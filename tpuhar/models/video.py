@@ -17,7 +17,7 @@ here is mean pooling; ``pool="first"`` reproduces the reference choice.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

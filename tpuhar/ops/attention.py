@@ -11,7 +11,6 @@ XLA reference path).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -14,7 +14,7 @@ layout); model-facing helpers transpose to ``(C, T)`` at the end.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

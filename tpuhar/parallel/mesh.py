@@ -16,7 +16,7 @@ Checkpoints are mesh-independent PyTrees — resharding on load is a ``device_pu
 from __future__ import annotations
 
 import re
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .models.crossmodal import FusionClassifier
@@ -41,12 +40,19 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
     bb_stats = venc_stats["backbone"]
     proj = venc_params["projection"]
 
-    # --- calibration on normalized frames (host/once) ------------------------------
-    frames = np.asarray(
-        jax.jit(normalize_clip)(calib_clips_u8)
-    ).reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))
-    act_stats = calibrate_resnet18(bb_params, bb_stats, frames[:64])
-    q = quantize_resnet18(bb_params, bb_stats, act_stats)
+    # --- calibration on normalized frames -------------------------------------------
+    # Run-once host job: keep it on CPU — the calibration walk dispatches many eager
+    # ops with host syncs, which is pathological on remote/tunneled TPUs.
+    try:
+        calib_device = jax.devices("cpu")[0]
+    except RuntimeError:
+        calib_device = jax.devices()[0]
+    with jax.default_device(calib_device):
+        frames = np.asarray(
+            jax.jit(normalize_clip)(calib_clips_u8)
+        ).reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))
+        act_stats = calibrate_resnet18(bb_params, bb_stats, frames[:64])
+        q = jax.device_get(quantize_resnet18(bb_params, bb_stats, act_stats))
 
     def forward(imu_raw, video_u8):
         B, T = video_u8.shape[0], video_u8.shape[1]

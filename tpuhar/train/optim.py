@@ -17,8 +17,6 @@ rather than per-epoch staircases, and parameter-group routing uses
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import optax
 
 
