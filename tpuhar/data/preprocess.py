@@ -21,6 +21,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
+import scipy.signal as _scipy_signal  # imported at module load: the lazy import costs
+                                      # ~3 s and would otherwise land in the first run
 
 from ..config import Config
 from ..ops import featurize as F
@@ -122,7 +124,7 @@ class Preprocessor:
 
     def _windows_host(self, raw: np.ndarray) -> List[np.ndarray]:
         """Host scipy/numpy path reproducing the reference exactly (for golden tests)."""
-        import scipy.signal as signal
+        signal = _scipy_signal
 
         d = self.data_cfg
         acc = raw[:, :3] / float(d.Racc)
