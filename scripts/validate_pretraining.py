@@ -22,8 +22,7 @@ def log(m):
 def main():
     import jax
 
-    if jax.default_backend() != "tpu":
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")  # tiny models; avoids TPU queue
 
     from tpuhar.cli import Pipeline
     from tpuhar.data.loader import create_dataloaders
@@ -49,7 +48,10 @@ def main():
     cfg.model.classifier_hidden_dims = [32]
     cfg.model.classifier_dropout = 0.0
     cfg.data.video_frames_per_window = 4
-    cfg.training.pretrain_epochs = 12
+    # InfoNCE for small-batch pretraining: SigLIP collapses to the all-negative
+    # solution below ~hundreds of samples per batch (see docs/BENCHMARKS.md).
+    cfg.training.use_sigmoid_loss = False
+    cfg.training.pretrain_epochs = 15
     cfg.training.pretrain_batch_size = 16
     cfg.training.pretrain_warmup_epochs = 2
     cfg.training.pretrain_lr = 5e-4

@@ -210,6 +210,11 @@ class TrainingConfig:
     # Contrastive loss
     temperature: float = 0.07
     use_sigmoid_loss: bool = True
+    # Train the SigLIP log-temperature/bias scalars. The reference's are effectively
+    # frozen (quirk Q11: its loss-module params never reach the optimizer). At small
+    # batch/dataset sizes a learnable bias admits a collapse (everything classified
+    # negative, bias→-inf); freezing restores the alignment gradient.
+    train_loss_scalars: bool = True
 
     # Classification
     train_epochs: int = 100

@@ -54,7 +54,9 @@ def example_video(config, batch: Optional[int] = None):
 
 
 def build_crossmodal_task(config, steps_per_epoch: int, rng) -> Task:
-    model = CrossModalModel(config)
+    model = CrossModalModel(
+        config, train_loss_scalars=bool(config.training.train_loss_scalars)
+    )
     b = config.training.pretrain_batch_size
     imu, video = example_imu(config, b), example_video(config, b)
     # init consumes normalized float video; shape is what matters
