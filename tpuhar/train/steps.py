@@ -185,13 +185,17 @@ def make_classification_steps(model, config, num_classes: Optional[int] = None):
 # Fusion classifier steps (IMU + video, north-star)
 # ---------------------------------------------------------------------------------
 def make_fusion_steps(model, config):
+    augment = bool(config.data.use_augmentation)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         video = normalize_clip(batch["video"])
+        aug_rng, rng = jax.random.split(rng)
+        imu = augment_imu(batch["imu"], aug_rng, config) if augment else batch["imu"]
 
         def loss_fn(params):
             (logits, _), new_bs = _apply(
-                model, state.replace(params=params), batch["imu"], video,
+                model, state.replace(params=params), imu, video,
                 train=True, rng=rng,
             )
             return L.cross_entropy_loss(logits, batch["label"]), (new_bs, logits)
