@@ -40,24 +40,32 @@ def test_siglip_quirk_mode_matches_reference_formula(rng):
     assert abs(ours - theirs) < 1e-5
 
 
-def test_siglip_correct_mode_repels_negatives(rng):
-    """In correct SigLIP, raising an off-diagonal similarity must raise the loss."""
-    imu, video = _norm_pair(rng, b=4, d=16)
-    base = float(L.siglip_loss(jnp.asarray(imu), jnp.asarray(video), 0.0, 0.0))
-    # make imu[0] similar to video[1]
+def test_siglip_correct_mode_repels_negatives():
+    """In correct SigLIP, raising ONLY an off-diagonal similarity raises the loss;
+    the quirk mode (every pair attractive) lowers it.  Deterministic construction:
+    orthonormal embeddings so exactly one pairwise similarity changes."""
+    b, d = 4, 16
+    video = np.eye(d, dtype=np.float32)[:b]  # orthonormal
+    imu = video.copy()  # perfectly aligned positives, zero negatives
+
+    # raise sim(imu[0], video[1]) from 0 to ~0.6 while keeping sim(0,0) high
     imu2 = imu.copy()
-    imu2[0] = video[1] + 0.01 * imu[0]
-    imu2[0] /= np.linalg.norm(imu2[0])
+    imu2[0] = 0.8 * video[0] + 0.6 * video[1]  # unit norm by construction
+
+    base = float(L.siglip_loss(jnp.asarray(imu), jnp.asarray(video), 0.0, 0.0))
     moved = float(L.siglip_loss(jnp.asarray(imu2), jnp.asarray(video), 0.0, 0.0))
+    # the (0,1) negative got more similar and the (0,0) positive got less similar
+    # by less than that → correct SigLIP must penalize
     assert moved > base
 
-    # while the quirk mode (no repulsion) rewards it
     base_q = float(
         L.siglip_loss(jnp.asarray(imu), jnp.asarray(video), 0.0, 0.0, quirk_sign_flip=True)
     )
     moved_q = float(
         L.siglip_loss(jnp.asarray(imu2), jnp.asarray(video), 0.0, 0.0, quirk_sign_flip=True)
     )
+    # quirk mode attracts every pair: higher off-diagonal similarity lowers its loss
+    # (net of the small positive-pair drop: softplus slope at 0 < slope at -0.8)
     assert moved_q < base_q
 
 
