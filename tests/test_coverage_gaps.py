@@ -118,3 +118,30 @@ def test_cli_ablate_mode(synthetic_config, monkeypatch):
     df = p.run_ablations()
     assert list(df["config"]) == ["transformer_raw", "cnn_raw"]
     assert (Path(cfg.paths.results_dir) / "ablation_results.csv").exists()
+
+
+def test_video_only_classifier(rng):
+    from tpuhar.config import Config
+    from tpuhar.train.factory import build_video_task
+
+    cfg = Config()
+    cfg.model.num_classes = 4
+    cfg.model.video_backbone = "tiny_cnn"
+    cfg.model.video_d_model = 32
+    cfg.model.classifier_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.data.video_resize = (32, 32)
+    cfg.data.video_frames_per_window = 2
+
+    task = build_video_task(cfg, 1, KEY, batch_size=4)
+    batch = {
+        "video": jnp.asarray((rng.random((4, 2, 32, 32, 3)) * 255).astype(np.uint8)),
+        "label": jnp.asarray([0, 1, 2, 3]),
+        "n_valid": jnp.asarray(4),
+    }
+    state, m = task.train_step(task.state, batch, KEY)
+    assert np.isfinite(float(m["loss"]))
+    out = task.eval_step(state, batch)
+    assert out["logits"].shape == (4, 4)
+    assert out["embeddings"].shape == (4, 32)

@@ -120,6 +120,36 @@ class IMUClassifier(nn.Module):
         return logits, feat
 
 
+class VideoClassifier(nn.Module):
+    """Video-only clip classifier (BASELINE.json config: "video-only clip encoder
+    (CNN/ViT, 16-frame 224px clips)"; no reference counterpart).
+
+    Clip encoder → MLP head on the pooled ``video_d_model`` embedding.  Returns
+    ``(logits, embedding)`` like the other classifiers so the OOD scorers and
+    evaluators apply unchanged.
+    """
+
+    config: object
+
+    def setup(self):
+        m = self.config.model
+        dtype = jnp.dtype(m.compute_dtype)
+        self.video_encoder = build_video_encoder(self.config)
+        self.classifier = ClassifierHead(
+            hidden_dims=tuple(m.classifier_hidden_dims),
+            num_classes=m.num_classes,
+            dropout=m.classifier_dropout,
+            norm=m.head_norm,
+            dtype=dtype,
+            name="classifier",
+        )
+
+    def __call__(self, video, *, train: bool = False):
+        emb, _ = self.video_encoder(video, train=train)
+        logits = self.classifier(emb, train=train)
+        return logits, emb
+
+
 class FusionClassifier(nn.Module):
     """Cross-attention IMU+video fusion classifier (north-star config).
 

@@ -14,7 +14,12 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.crossmodal import CrossModalModel, FusionClassifier, IMUClassifier
+from ..models.crossmodal import (
+    CrossModalModel,
+    FusionClassifier,
+    IMUClassifier,
+    VideoClassifier,
+)
 from .optim import make_classification_optimizer, make_pretrain_optimizer
 from .steps import (
     TrainState,
@@ -89,6 +94,26 @@ def build_classification_task(
     tx = make_classification_optimizer(config, steps_per_epoch, mode, params)
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx)
     train_step, predict_step = make_classification_steps(model, config)
+    return Task(model, state, train_step, predict_step)
+
+
+def build_video_task(
+    config, steps_per_epoch: int, rng, *, batch_size: Optional[int] = None
+) -> Task:
+    """Video-only clip classifier (BASELINE config); trains with the fusion recipe."""
+    from .steps import make_video_steps
+
+    b = batch_size or config.training.pretrain_batch_size
+    model = VideoClassifier(config)
+    video = example_video(config, b)
+    variables = model.init(rng, video.astype(jnp.float32))
+    tx = make_classification_optimizer(
+        config, steps_per_epoch, "finetune", variables["params"]
+    )
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables.get("batch_stats", {}), tx=tx
+    )
+    train_step, predict_step = make_video_steps(model, config)
     return Task(model, state, train_step, predict_step)
 
 

@@ -182,6 +182,45 @@ def make_classification_steps(model, config, num_classes: Optional[int] = None):
 
 
 # ---------------------------------------------------------------------------------
+# Video-only classifier steps (BASELINE "video-only clip encoder" config)
+# ---------------------------------------------------------------------------------
+def make_video_steps(model, config):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        video = normalize_clip(batch["video"])
+
+        def loss_fn(params):
+            (logits, _), new_bs = _apply(
+                model, state.replace(params=params), video, train=True, rng=rng
+            )
+            return L.cross_entropy_loss(logits, batch["label"]), (new_bs, logits)
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
+        return new_state, {"loss": loss, "accuracy": acc * 100.0}
+
+    @jax.jit
+    def predict_step(state: TrainState, batch: Dict) -> Dict:
+        video = normalize_clip(batch["video"])
+        (logits, emb), _ = _apply(model, state, video, train=False)
+        labels = batch.get("label", jnp.zeros(logits.shape[0], jnp.int32))
+        loss_per = L.cross_entropy_loss(logits, labels, reduction="none")
+        valid = jnp.arange(logits.shape[0]) < batch["n_valid"]
+        return {
+            "logits": logits,
+            "embeddings": emb,
+            "preds": jnp.argmax(logits, -1),
+            "loss_sum": jnp.sum(loss_per * valid),
+            "valid": valid,
+        }
+
+    return train_step, predict_step
+
+
+# ---------------------------------------------------------------------------------
 # Fusion classifier steps (IMU + video, north-star)
 # ---------------------------------------------------------------------------------
 def make_fusion_steps(model, config):
