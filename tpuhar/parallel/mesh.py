@@ -139,11 +139,16 @@ def shard_state(state, mesh: Mesh, model_axis: str = "model"):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state.params, param_specs
     )
 
+    # longest-first so a short param path that happens to be a suffix of another
+    # param's path can never shadow the true owner
+    ordered_param_specs = sorted(
+        flat_param_specs.items(), key=lambda kv: -len(kv[0])
+    )
+
     def put_opt(key_path, leaf):
         path = _path_str(key_path)
-        # match the longest param-path suffix of this optimizer leaf's path
         spec = P()
-        for ppath, pspec in flat_param_specs.items():
+        for ppath, pspec in ordered_param_specs:
             if path.endswith(ppath):
                 spec = pspec
                 break
