@@ -149,3 +149,37 @@ def featurize_windows_pallas(
     )(x, scale)
 
     return out[:rows, :T].reshape(B, C, T)
+
+
+def featurize_windows_auto(
+    raw_windows: jax.Array,
+    *,
+    kernel_size: int = 5,
+    normalize: bool = True,
+    racc: float = 16384.0,
+    rgyro: float = 16.4,
+) -> jax.Array:
+    """Serving featurization with automatic backend dispatch.
+
+    On TPU, runs the fused Pallas kernel (hardware-validated bit-compatible with the
+    jnp path, maxdiff < 1e-6); elsewhere — and for kernel sizes the Pallas kernel
+    doesn't cover — falls back to the XLA-fused jnp implementation.
+    """
+    platform = jax.devices()[0].platform
+    if platform == "tpu" and kernel_size in (1, 4, 5):
+        return featurize_windows_pallas(
+            raw_windows,
+            kernel_size=kernel_size,
+            normalize=normalize,
+            racc=racc,
+            rgyro=rgyro,
+        )
+    from .featurize import featurize_windows
+
+    return featurize_windows(
+        raw_windows,
+        kernel_size=kernel_size,
+        normalize=normalize,
+        racc=racc,
+        rgyro=rgyro,
+    )

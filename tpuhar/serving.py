@@ -22,7 +22,7 @@ import numpy as np
 
 from .models.crossmodal import FusionClassifier, IMUClassifier
 from .ood import MahalanobisScorer, energy_score, msp_score
-from .ops.featurize import featurize_windows
+from .ops.fused_window import featurize_windows_auto
 from .ops.video import normalize_clip
 from .utils.profiling import StepProfiler
 
@@ -56,7 +56,7 @@ class InferenceEngine:
         d = config.data
 
         def forward(imu_raw, video_u8=None):
-            imu = featurize_windows(
+            imu = featurize_windows_auto(
                 imu_raw,
                 kernel_size=d.median_filter_kernel,
                 normalize=d.normalize_imu,
