@@ -139,3 +139,37 @@ def test_factory():
     assert callable(fn)
     with pytest.raises(ValueError):
         L.get_loss_function("nope")
+
+
+def test_siglip_loss_masks_padded_rows():
+    """n_valid masking == computing the loss on the cropped batch (ADVICE r1: padded
+    rows must not enter the pair matrix as fake zero-embedding positives)."""
+    import numpy as np
+
+    from tpuhar.losses import siglip_loss
+
+    rng = np.random.default_rng(0)
+    e = rng.normal(size=(6, 8)).astype(np.float32)
+    f = rng.normal(size=(6, 8)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    pad = ((0, 2), (0, 0))
+    full = siglip_loss(np.pad(e, pad), np.pad(f, pad), 2.3, -10.0, n_valid=6)
+    crop = siglip_loss(e, f, 2.3, -10.0)
+    assert abs(float(full) - float(crop)) < 1e-6
+    biased = siglip_loss(np.pad(e, pad), np.pad(f, pad), 2.3, -10.0)
+    assert abs(float(biased) - float(crop)) > 1e-6
+
+
+def test_infonce_loss_masks_padded_rows():
+    import numpy as np
+
+    from tpuhar.losses import infonce_loss
+
+    rng = np.random.default_rng(1)
+    e = rng.normal(size=(5, 8)).astype(np.float32)
+    f = rng.normal(size=(5, 8)).astype(np.float32)
+    pad = ((0, 3), (0, 0))
+    full = infonce_loss(np.pad(e, pad), np.pad(f, pad), 0.1, n_valid=5)
+    crop = infonce_loss(e, f, 0.1)
+    assert abs(float(full) - float(crop)) < 1e-5

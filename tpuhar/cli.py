@@ -51,6 +51,13 @@ class Pipeline:
         self.config.paths.ensure_dirs()
         self.root_key = set_seed(self.config.training.seed)
         print(f"[Pipeline] devices: {describe_devices()}")
+        # Train over every visible device (reference: DataParallel when >1 GPU,
+        # main.py:89-95). None on a single device — steps run un-sharded.
+        from .parallel.mesh import maybe_mesh
+
+        self.mesh = maybe_mesh(self.config)
+        if self.mesh is not None:
+            print(f"[Pipeline] training mesh: {dict(self.mesh.shape)}")
         status = check_dataset_paths(self.config)
         if not status["ok"]:
             print(f"[Pipeline] dataset path check: {status}")
@@ -92,11 +99,12 @@ class Pipeline:
         )
         loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="cross_modal")
         spe = max(len(loaders["train"]), 1)
-        task = build_crossmodal_task(cfg, spe, self._next_key())
+        task = build_crossmodal_task(cfg, spe, self._next_key(), mesh=self.mesh)
 
         trainer = CrossModalTrainer(
             cfg, task.state, task.train_step, task.eval_step,
             Path(cfg.paths.checkpoints_dir) / "cross_modal", self._next_key(),
+            mesh=self.mesh,
         )
         task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
 
@@ -136,11 +144,12 @@ class Pipeline:
             task = build_classification_task(
                 cfg, mode, spe, self._next_key(),
                 encoder_params=enc_params, encoder_batch_stats=enc_bs,
+                mesh=self.mesh,
             )
             trainer = ClassificationTrainer(
                 cfg, task.state, task.train_step, task.eval_step,
                 Path(cfg.paths.checkpoints_dir) / f"classifier_{mode}",
-                self._next_key(), mode,
+                self._next_key(), mode, mesh=self.mesh,
             )
             task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
 

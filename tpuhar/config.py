@@ -239,6 +239,12 @@ class TrainingConfig:
     # Number of data-parallel shards the input batch is split over (mesh 'data' axis).
     data_axis: str = "data"
     model_axis: str = "model"
+    # Pipeline-level parallel training (reference equivalent: DataParallel wrapping
+    # when >1 GPU, main.py:89-95). When True and >1 device is visible, the CLI stages
+    # train over a dp(×tp) mesh: batches sharded over 'data', params/optimizer moments
+    # tensor-parallel over 'model' when model_axis_size > 1.
+    data_parallel: bool = True
+    model_axis_size: int = 1
 
 
 @dataclass

@@ -28,6 +28,7 @@ def siglip_loss(
     bias,
     *,
     quirk_sign_flip: bool = False,
+    n_valid=None,
 ) -> jax.Array:
     """SigLIP-style sigmoid contrastive loss over an all-pairs similarity matrix.
 
@@ -54,21 +55,44 @@ def siglip_loss(
         loss = _softplus(scaled) - targets * scaled
     else:
         loss = _softplus(-signs * logits)
-    return jnp.mean(loss)
+    if n_valid is None:
+        return jnp.mean(loss)
+    # Zero-padded final batches: padded rows would otherwise enter the similarity
+    # matrix as fake zero-embedding positives, biasing val loss (and with it
+    # best-checkpoint selection). Average over valid×valid pairs only.
+    valid = (jnp.arange(B) < n_valid).astype(loss.dtype)
+    mask = valid[:, None] * valid[None, :]
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def infonce_loss(
-    imu_embeds: jax.Array, video_embeds: jax.Array, temperature: float = 0.07
+    imu_embeds: jax.Array,
+    video_embeds: jax.Array,
+    temperature: float = 0.07,
+    *,
+    n_valid=None,
 ) -> jax.Array:
-    """Symmetric InfoNCE / NT-Xent (reference ``losses.py:57-87``, which is correct)."""
+    """Symmetric InfoNCE / NT-Xent (reference ``losses.py:57-87``, which is correct).
+
+    ``n_valid`` masks zero-padded rows out of both the softmax denominators (as
+    candidates) and the per-row average (as anchors) — see ``siglip_loss``.
+    """
     imu_embeds = imu_embeds.astype(jnp.float32)
     video_embeds = video_embeds.astype(jnp.float32)
     B = imu_embeds.shape[0]
     logits = imu_embeds @ video_embeds.T / temperature
     labels = jnp.arange(B)
-    loss_i2v = cross_entropy_loss(logits, labels)
-    loss_v2i = cross_entropy_loss(logits.T, labels)
-    return (loss_i2v + loss_v2i) / 2.0
+    if n_valid is None:
+        loss_i2v = cross_entropy_loss(logits, labels)
+        loss_v2i = cross_entropy_loss(logits.T, labels)
+        return (loss_i2v + loss_v2i) / 2.0
+    valid = jnp.arange(B) < n_valid
+    col_mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    nll_i2v = cross_entropy_loss(logits + col_mask[None, :], labels, reduction="none")
+    nll_v2i = cross_entropy_loss(logits.T + col_mask[None, :], labels, reduction="none")
+    w = valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return (jnp.sum(nll_i2v * w) + jnp.sum(nll_v2i * w)) / (2.0 * denom)
 
 
 def cross_entropy_loss(

@@ -39,6 +39,36 @@ def create_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
+def maybe_mesh(config=None, devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Mesh for pipeline-level parallel training, or ``None`` on a single device.
+
+    Honors ``training.data_parallel`` (off switch) and ``training.model_axis_size``
+    (TP degree); trims the device list to a multiple of the TP degree. This is the
+    TPU-native analogue of the reference's "wrap in DataParallel when >1 GPU"
+    (``main.py:89-95``) — except sharding also covers optimizer state and allows a
+    model axis.
+    """
+    t = getattr(config, "training", None)
+    if t is not None and not bool(getattr(t, "data_parallel", True)):
+        return None
+    model_axis_size = max(int(getattr(t, "model_axis_size", 1) or 1), 1) if t else 1
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < 2 and model_axis_size <= 1:
+        return None
+    n = (len(devices) // model_axis_size) * model_axis_size
+    if n < model_axis_size:
+        raise ValueError(
+            f"model_axis_size={model_axis_size} needs at least that many devices; "
+            f"have {len(devices)}"
+        )
+    return create_mesh(
+        devices[:n],
+        model_axis_size=model_axis_size,
+        data_axis=getattr(t, "data_axis", "data") if t else "data",
+        model_axis=getattr(t, "model_axis", "model") if t else "model",
+    )
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis over the data axis; replicate the rest."""
     return NamedSharding(mesh, P(data_axis))

@@ -58,7 +58,15 @@ def example_video(config, batch: Optional[int] = None):
     return jnp.zeros((b, d.video_frames_per_window, H, W, 3), jnp.uint8)
 
 
-def build_crossmodal_task(config, steps_per_epoch: int, rng) -> Task:
+def _maybe_shard(state, mesh):
+    if mesh is None:
+        return state
+    from ..parallel.mesh import shard_state
+
+    return shard_state(state, mesh)
+
+
+def build_crossmodal_task(config, steps_per_epoch: int, rng, *, mesh=None) -> Task:
     model = CrossModalModel(
         config, train_loss_scalars=bool(config.training.train_loss_scalars)
     )
@@ -67,6 +75,7 @@ def build_crossmodal_task(config, steps_per_epoch: int, rng) -> Task:
     # init consumes normalized float video; shape is what matters
     tx = make_pretrain_optimizer(config, steps_per_epoch)
     state = init_state(model, tx, rng, imu, video.astype(jnp.float32))
+    state = _maybe_shard(state, mesh)
     train_step, eval_step = make_crossmodal_steps(model, config)
     return Task(model, state, train_step, eval_step)
 
@@ -80,6 +89,7 @@ def build_classification_task(
     encoder_params=None,
     encoder_batch_stats=None,
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Task:
     """Build a probe/finetune classifier, optionally grafting a pretrained IMU encoder."""
     model = IMUClassifier(config, freeze_encoder=(mode == "linear_probe"))
@@ -93,12 +103,13 @@ def build_classification_task(
         batch_stats = _graft(batch_stats, "imu_encoder", encoder_batch_stats)
     tx = make_classification_optimizer(config, steps_per_epoch, mode, params)
     state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx)
+    state = _maybe_shard(state, mesh)
     train_step, predict_step = make_classification_steps(model, config)
     return Task(model, state, train_step, predict_step)
 
 
 def build_video_task(
-    config, steps_per_epoch: int, rng, *, batch_size: Optional[int] = None
+    config, steps_per_epoch: int, rng, *, batch_size: Optional[int] = None, mesh=None
 ) -> Task:
     """Video-only clip classifier (BASELINE config); trains with the fusion recipe."""
     from .steps import make_video_steps
@@ -110,15 +121,26 @@ def build_video_task(
     tx = make_classification_optimizer(
         config, steps_per_epoch, "finetune", variables["params"]
     )
-    state = TrainState.create(
-        params=variables["params"], batch_stats=variables.get("batch_stats", {}), tx=tx
+    state = _maybe_shard(
+        TrainState.create(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=tx,
+        ),
+        mesh,
     )
     train_step, predict_step = make_video_steps(model, config)
     return Task(model, state, train_step, predict_step)
 
 
 def build_fusion_task(
-    config, steps_per_epoch: int, rng, *, encoder_params=None, batch_size: Optional[int] = None
+    config,
+    steps_per_epoch: int,
+    rng,
+    *,
+    encoder_params=None,
+    batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Task:
     """North-star fusion classifier; ``encoder_params`` grafts a pretrained IMU encoder."""
     b = batch_size or config.training.pretrain_batch_size
@@ -129,8 +151,11 @@ def build_fusion_task(
     if encoder_params is not None:
         params = _graft(params, "imu_encoder", encoder_params)
     tx = make_classification_optimizer(config, steps_per_epoch, "finetune", params)
-    state = TrainState.create(
-        params=params, batch_stats=variables.get("batch_stats", {}), tx=tx
+    state = _maybe_shard(
+        TrainState.create(
+            params=params, batch_stats=variables.get("batch_stats", {}), tx=tx
+        ),
+        mesh,
     )
     train_step, predict_step = make_fusion_steps(model, config)
     return Task(model, state, train_step, predict_step)

@@ -66,11 +66,19 @@ class EarlyStopper:
 
 
 class BaseTrainer:
-    """Shared checkpoint/history plumbing (reference ``BaseTrainer``, ``trainer.py:29-56``)."""
+    """Shared checkpoint/history plumbing (reference ``BaseTrainer``, ``trainer.py:29-56``).
 
-    def __init__(self, config, state: TrainState, save_dir, rng):
+    ``mesh``: optional ``jax.sharding.Mesh`` — when set, every batch is sharded over
+    the mesh's data axis before the jitted step (the state is sharded by the task
+    factory; GSPMD propagates the layout through the step and inserts the gradient
+    ``psum`` over ICI). This is the pipeline-level analogue of the reference wrapping
+    models in ``DataParallel`` (``main.py:89-95``).
+    """
+
+    def __init__(self, config, state: TrainState, save_dir, rng, mesh=None):
         self.config = config
         self.state = state
+        self.mesh = mesh
         self.save_dir = Path(save_dir)
         self.rng = rng
         self.current_epoch = 0
@@ -89,6 +97,13 @@ class BaseTrainer:
         if self.verbose:
             print(msg, flush=True)
 
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def _save(self, name: str, best_key: str, best_value: float) -> None:
         ckpt.save_checkpoint(
             self.save_dir / name,
@@ -106,6 +121,10 @@ class BaseTrainer:
         if not ckpt.checkpoint_exists(path):
             return False
         self.state, extra = ckpt.restore_checkpoint(path, self.state)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self.current_epoch = int(extra.get("epoch", 0)) + 1
         self.history = extra.get("history", {"train": [], "val": []})
         return True
@@ -123,8 +142,8 @@ class BaseTrainer:
 class CrossModalTrainer(BaseTrainer):
     """Contrastive pretraining driver (reference ``CrossModalTrainer``)."""
 
-    def __init__(self, config, state, train_step, eval_step, save_dir, rng):
-        super().__init__(config, state, save_dir, rng)
+    def __init__(self, config, state, train_step, eval_step, save_dir, rng, mesh=None):
+        super().__init__(config, state, save_dir, rng, mesh=mesh)
         self.train_step = train_step
         self.eval_step = eval_step
         self.best_val_loss = float("inf")
@@ -136,15 +155,25 @@ class CrossModalTrainer(BaseTrainer):
     def train_epoch(self, loader) -> float:
         losses = []
         for batch in loader:
-            self.state, metrics = self.train_step(self.state, batch, self._next_rng())
+            self.state, metrics = self.train_step(
+                self.state, self._shard(batch), self._next_rng()
+            )
             losses.append(metrics["loss"])
         return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
     def validate(self, loader) -> float:
-        losses = []
+        """Val loss, weighted by each batch's valid-row count (padded rows are masked
+        inside ``eval_step``, so a short final batch must not count as a full one)."""
+        losses, weights = [], []
         for batch in loader:
-            losses.append(self.eval_step(self.state, batch)["loss"])
-        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+            out = self.eval_step(self.state, self._shard(batch))
+            losses.append(out["loss"])
+            weights.append(out["n_valid"])
+        if not losses:
+            return 0.0
+        losses = np.asarray(jax.device_get(losses), np.float64)
+        weights = np.asarray(jax.device_get(weights), np.float64)
+        return float(np.sum(losses * weights) / max(np.sum(weights), 1.0))
 
     def fit(self, train_loader, val_loader, *, resume: bool = False) -> TrainState:
         t = self.config.training
@@ -192,8 +221,10 @@ class CrossModalTrainer(BaseTrainer):
 class ClassificationTrainer(BaseTrainer):
     """IMU classification driver (reference ``ClassificationTrainer``)."""
 
-    def __init__(self, config, state, train_step, predict_step, save_dir, rng, mode):
-        super().__init__(config, state, save_dir, rng)
+    def __init__(
+        self, config, state, train_step, predict_step, save_dir, rng, mode, mesh=None
+    ):
+        super().__init__(config, state, save_dir, rng, mesh=mesh)
         assert mode in ("linear_probe", "finetune")
         self.mode = mode
         self.train_step = train_step
@@ -208,7 +239,9 @@ class ClassificationTrainer(BaseTrainer):
     def train_epoch(self, loader) -> Dict[str, float]:
         losses, accs = [], []
         for batch in loader:
-            self.state, m = self.train_step(self.state, batch, self._next_rng())
+            self.state, m = self.train_step(
+                self.state, self._shard(batch), self._next_rng()
+            )
             losses.append(m["loss"])
             accs.append(m["accuracy"])
         if not losses:
@@ -222,7 +255,7 @@ class ClassificationTrainer(BaseTrainer):
         cm = init_confusion(self.num_classes)
         loss_sum, n = 0.0, 0
         for batch in loader:
-            out = self.predict_step(self.state, batch)
+            out = self.predict_step(self.state, self._shard(batch))
             cm = confusion_update(cm, batch["label"], out["preds"], out["valid"])
             loss_sum += float(out["loss_sum"])
             n += int(batch["n_valid"])

@@ -86,7 +86,7 @@ def make_crossmodal_steps(model, config):
     quirk = bool(t.replicate_siglip_sign_quirk)
     temperature = float(t.temperature)
 
-    def contrastive_loss(out):
+    def contrastive_loss(out, n_valid=None):
         if use_sigmoid:
             return L.siglip_loss(
                 out["imu_proj"],
@@ -94,8 +94,11 @@ def make_crossmodal_steps(model, config):
                 out["logit_scale"],
                 out["logit_bias"],
                 quirk_sign_flip=quirk,
+                n_valid=n_valid,
             )
-        return L.infonce_loss(out["imu_proj"], out["video_proj"], temperature)
+        return L.infonce_loss(
+            out["imu_proj"], out["video_proj"], temperature, n_valid=n_valid
+        )
 
     augment = bool(config.data.use_augmentation)
 
@@ -120,7 +123,13 @@ def make_crossmodal_steps(model, config):
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         video = normalize_clip(batch["video"])
         out, _ = _apply(model, state, batch["imu"], video, train=False)
-        return {"loss": contrastive_loss(out)}
+        # zero-padded final val batches: mask padded rows out of the pair matrix
+        return {
+            "loss": contrastive_loss(out, n_valid=batch.get("n_valid")),
+            "n_valid": batch.get(
+                "n_valid", jnp.asarray(batch["imu"].shape[0], jnp.int32)
+            ),
+        }
 
     return train_step, eval_step
 
