@@ -142,6 +142,15 @@ class ModelConfig:
     # Video Encoder
     video_backbone: str = "videomae_base"  # "videomae_*" ViT | "resnet18" | "mobilenet_v2"
     video_pretrained: bool = True
+    # Local torch checkpoint to graft into the video backbone when
+    # ``video_pretrained`` is True (HF ``pytorch_model.bin`` / torchvision ``.pth`` /
+    # numpy ``.npz``). The reference downloads weights at construction time
+    # (``models.py:157``, ``:164-170``); this build is network-isolated, so the
+    # equivalent is conversion from a file already on disk (``models/convert.py``).
+    video_weights_path: Optional[str] = None
+    # HF VideoMAE checkpoints trained with use_mean_pooling=True ship NO final
+    # LayerNorm; set False to match such checkpoints when grafting.
+    video_use_final_norm: bool = True
     video_d_model: int = 768
 
     # Projection heads

@@ -215,6 +215,112 @@ def convert_mobilenet_v2_state_dict(sd: Dict):
     return params, batch_stats
 
 
+def load_state_dict(path) -> Dict:
+    """Load a torch checkpoint (``.pt``/``.pth``/``.bin``) or numpy ``.npz`` into a
+    flat name→array dict. Unwraps a ``state_dict`` envelope if present."""
+    path = str(path)
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # older torch without weights_only
+        sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        sd = sd["state_dict"]
+    return sd
+
+
+def convert_video_backbone(sd: Dict, config):
+    """Convert a raw torch state dict for the configured video backbone.
+
+    Returns the value ``graft_video_backbone`` expects: a params tree for ViT
+    backbones, ``(params, batch_stats)`` for the CNNs.
+    """
+    from .video import VIT_CONFIGS
+
+    m, d = config.model, config.data
+    backbone = m.video_backbone
+    if "/" in backbone or "videomae" in backbone.lower():
+        if backbone not in VIT_CONFIGS:
+            backbone = "videomae_base"
+        depth, d_model, heads = VIT_CONFIGS[backbone]
+        H, W = d.video_resize
+        n_positions = (d.video_frames_per_window // 2) * (H // 16) * (W // 16)
+        converted = convert_videomae_state_dict(sd, depth, d_model, heads, n_positions)
+        has_norm = videomae_has_final_norm(sd)
+        if has_norm != bool(getattr(m, "video_use_final_norm", True)):
+            want = "without" if has_norm else "with"
+            raise ValueError(
+                f"checkpoint {'has' if has_norm else 'lacks'} a final LayerNorm but the "
+                f"model is built {want} one - set model.video_use_final_norm={has_norm}"
+            )
+        return converted
+    if backbone == "resnet18":
+        return convert_resnet18_state_dict(sd)
+    if backbone == "mobilenet_v2":
+        return convert_mobilenet_v2_state_dict(sd)
+    raise ValueError(
+        f"no torch-weight converter for backbone {backbone!r} "
+        "(tpu_cnn/tiny_cnn are this framework's own towers - train them natively)"
+    )
+
+
+def _shape_map(tree, prefix=""):
+    import jax
+
+    out = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        path = "/".join(getattr(k, "key", str(k)) for k in kp)
+        out[path] = tuple(np.shape(leaf))
+    return out
+
+
+def graft_model_video_weights(params: Dict, batch_stats, config, *, path=None) -> tuple:
+    """Graft a torch checkpoint into a full model's ``video_encoder`` submodule.
+
+    ``params``/``batch_stats`` are the full-model trees (any model built on
+    ``VideoEncoder``: CrossModalModel / VideoClassifier / FusionClassifier). Returns
+    the updated ``(params, batch_stats)``. Every replaced leaf's shape is validated
+    against the freshly-initialized tree so a checkpoint trained at a different
+    clip geometry fails loudly instead of mis-grafting.
+
+    Reference behavior being matched: pretrained backbones load at construction
+    (``models.py:154-173``).
+    """
+    path = path or getattr(config.model, "video_weights_path", None)
+    if not path:
+        return params, batch_stats
+    sd = load_state_dict(path)
+    converted = convert_video_backbone(sd, config)
+
+    ve = {
+        "params": dict(params["video_encoder"]),
+        "batch_stats": dict(dict(batch_stats or {}).get("video_encoder", {}) or {}),
+    }
+    old_shapes = _shape_map(ve)
+    ve = graft_video_backbone(ve, converted, config.model.video_backbone)
+    new_shapes = _shape_map(ve)
+    mismatched = sorted(
+        k
+        for k in old_shapes.keys() & new_shapes.keys()
+        if old_shapes[k] != new_shapes[k]
+    ) + sorted(new_shapes.keys() ^ old_shapes.keys())
+    if mismatched:
+        raise ValueError(
+            f"video checkpoint {path} does not fit the configured model; "
+            f"first mismatches: {mismatched[:5]}"
+        )
+
+    out_params = dict(params)
+    out_params["video_encoder"] = ve["params"]
+    out_bs = dict(batch_stats or {})
+    if ve.get("batch_stats"):
+        out_bs["video_encoder"] = ve["batch_stats"]
+    return out_params, out_bs
+
+
 def graft_video_backbone(variables: Dict, converted, backbone: str) -> Dict:
     """Insert converted backbone weights into a VideoEncoder variables tree."""
     import jax

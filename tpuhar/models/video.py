@@ -343,6 +343,7 @@ class VideoEncoder(nn.Module):
     pool: str = "mean"
     remat: bool = False
     use_flash: bool = False
+    use_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -353,7 +354,8 @@ class VideoEncoder(nn.Module):
             depth, d_model, heads = VIT_CONFIGS[self.backbone]
             emb, tokens = VideoViT(
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
-                remat=self.remat, use_flash=self.use_flash, dtype=self.dtype,
+                remat=self.remat, use_flash=self.use_flash,
+                use_final_norm=self.use_final_norm, dtype=self.dtype,
                 name="vit",
             )(x, train=train)
             proj = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")
@@ -400,5 +402,6 @@ def build_video_encoder(config, dtype=None):
         video_d_model=m.video_d_model,
         remat=m.remat_video,
         use_flash=m.use_flash_attention,
+        use_final_norm=bool(getattr(m, "video_use_final_norm", True)),
         dtype=dtype,
     )

@@ -23,7 +23,6 @@ from ..models.crossmodal import (
 from .optim import make_classification_optimizer, make_pretrain_optimizer
 from .steps import (
     TrainState,
-    init_state,
     make_classification_steps,
     make_crossmodal_steps,
     make_fusion_steps,
@@ -66,6 +65,26 @@ def _maybe_shard(state, mesh):
     return shard_state(state, mesh)
 
 
+def _maybe_graft_video(params, batch_stats, config):
+    """Graft local pretrained video weights when configured (reference: backbones
+    load pretrained at construction, ``models.py:154-173``)."""
+    m = config.model
+    path = getattr(m, "video_weights_path", None)
+    if not path:
+        return params, batch_stats
+    if not bool(m.video_pretrained):
+        print(
+            "[factory] model.video_weights_path set but video_pretrained=False - "
+            "skipping graft"
+        )
+        return params, batch_stats
+    from ..models.convert import graft_model_video_weights
+
+    params, batch_stats = graft_model_video_weights(params, batch_stats, config)
+    print(f"[factory] grafted pretrained video weights from {path}")
+    return params, batch_stats
+
+
 def build_crossmodal_task(config, steps_per_epoch: int, rng, *, mesh=None) -> Task:
     model = CrossModalModel(
         config, train_loss_scalars=bool(config.training.train_loss_scalars)
@@ -73,8 +92,12 @@ def build_crossmodal_task(config, steps_per_epoch: int, rng, *, mesh=None) -> Ta
     b = config.training.pretrain_batch_size
     imu, video = example_imu(config, b), example_video(config, b)
     # init consumes normalized float video; shape is what matters
+    variables = model.init(rng, imu, video.astype(jnp.float32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    params, batch_stats = _maybe_graft_video(params, batch_stats, config)
     tx = make_pretrain_optimizer(config, steps_per_epoch)
-    state = init_state(model, tx, rng, imu, video.astype(jnp.float32))
+    state = TrainState.create(params=params, batch_stats=batch_stats, tx=tx)
     state = _maybe_shard(state, mesh)
     train_step, eval_step = make_crossmodal_steps(model, config)
     return Task(model, state, train_step, eval_step)
@@ -118,15 +141,12 @@ def build_video_task(
     model = VideoClassifier(config)
     video = example_video(config, b)
     variables = model.init(rng, video.astype(jnp.float32))
-    tx = make_classification_optimizer(
-        config, steps_per_epoch, "finetune", variables["params"]
+    params, batch_stats = _maybe_graft_video(
+        variables["params"], variables.get("batch_stats", {}), config
     )
+    tx = make_classification_optimizer(config, steps_per_epoch, "finetune", params)
     state = _maybe_shard(
-        TrainState.create(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            tx=tx,
-        ),
+        TrainState.create(params=params, batch_stats=batch_stats, tx=tx),
         mesh,
     )
     train_step, predict_step = make_video_steps(model, config)
@@ -150,11 +170,12 @@ def build_fusion_task(
     params = variables["params"]
     if encoder_params is not None:
         params = _graft(params, "imu_encoder", encoder_params)
+    params, batch_stats = _maybe_graft_video(
+        params, variables.get("batch_stats", {}), config
+    )
     tx = make_classification_optimizer(config, steps_per_epoch, "finetune", params)
     state = _maybe_shard(
-        TrainState.create(
-            params=params, batch_stats=variables.get("batch_stats", {}), tx=tx
-        ),
+        TrainState.create(params=params, batch_stats=batch_stats, tx=tx),
         mesh,
     )
     train_step, predict_step = make_fusion_steps(model, config)
