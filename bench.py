@@ -4,9 +4,10 @@
 North-star metric (BASELINE.json): ≥5,000 fused inferences/sec/chip on TPU v5e at
 OOD-AUROC parity.  One inference = one raw 250×6 IMU window (raw counts) plus one
 16-frame 224×224 uint8 clip, through on-device featurization (unit conversion,
-median filter, z-score), ImageNet normalization, the ResNet-18 + IMU-transformer
-cross-attention fusion classifier (bf16 MXU compute), and MSP/energy OOD heads —
-decode-to-logits in one XLA program.
+median filter, z-score — the Pallas fused kernel on TPU), ImageNet normalization,
+the flagship TPUVideoCNN (patch-embed stem) + IMU-transformer cross-attention
+fusion classifier (bf16 MXU compute), and MSP/energy OOD heads — decode-to-logits
+in one XLA program.  `bench.py resnet18` benches the reference-parity tower.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "inferences/sec/chip", "vs_baseline": N/5000,

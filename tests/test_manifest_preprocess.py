@@ -134,3 +134,67 @@ def test_run_full_preprocessing_stats(synthetic_config):
     assert stats["total_windows"] == sum(len(df) for df in results.values())
     assert stats["skipped_samples"] == 0
     assert len(stats["classes_found"]) == 4
+
+
+def test_window_scope_matches_serving_featurization(synthetic_config):
+    """zscore_scope='window': offline windows == the serving engine's featurization of
+    the same raw slices, bit-for-bit (ADVICE r1: train/serve input skew)."""
+    import numpy as np
+
+    from tpuhar.data.preprocess import Preprocessor
+    from tpuhar.ops.featurize import featurize_windows
+
+    cfg = synthetic_config
+    cfg.data.zscore_scope = "window"
+    pre = Preprocessor(cfg)
+    rng = np.random.default_rng(0)
+    raw = rng.normal(0, 8000, size=(700, 6)).astype(np.float32)
+    windows = pre.make_windows(raw)
+    w, s = cfg.data.imu_window_size, cfg.data.imu_stride
+    assert len(windows) == (700 - w) // s + 1
+    for i, win in enumerate(windows):
+        served = np.swapaxes(
+            np.asarray(
+                featurize_windows(
+                    raw[None, i * s : i * s + w],
+                    kernel_size=cfg.data.median_filter_kernel,
+                    normalize=cfg.data.normalize_imu,
+                    racc=cfg.data.Racc,
+                    rgyro=cfg.data.Rgyro,
+                )
+            )[0],
+            0, 1,
+        )
+        np.testing.assert_array_equal(win, served)
+
+
+def test_window_scope_pads_short_sequences(synthetic_config):
+    import numpy as np
+
+    from tpuhar.data.preprocess import Preprocessor
+
+    cfg = synthetic_config
+    cfg.data.zscore_scope = "window"
+    pre = Preprocessor(cfg)
+    raw = np.random.default_rng(1).normal(0, 8000, size=(60, 6)).astype(np.float32)
+    windows = pre.make_windows(raw)
+    assert len(windows) == 1
+    assert windows[0].shape == (cfg.data.imu_window_size, 6)
+
+
+def test_device_truncation_counted(synthetic_config, capsys):
+    """Sequences past max_sequence_length increment a visible counter (ADVICE r1)."""
+    import numpy as np
+
+    from tpuhar.data.preprocess import Preprocessor
+
+    cfg = synthetic_config
+    cfg.data.featurize_backend = "device"
+    cfg.data.max_sequence_length = 512
+    pre = Preprocessor(cfg)
+    raw = np.random.default_rng(2).normal(0, 8000, size=(2000, 6)).astype(np.float32)
+    out = pre.make_windows_batch([raw])
+    assert pre.preprocessing_stats["truncated_sequences"] == 1
+    assert "truncated" in capsys.readouterr().out
+    w, s = cfg.data.imu_window_size, cfg.data.imu_stride
+    assert len(out[0]) == (512 - w) // s + 1

@@ -133,3 +133,36 @@ def test_leave_one_out_split():
     assert len(ood_df) == 2
     assert sorted(id_df["label"].unique()) == [0, 1, 2]  # remapped 0,1,3 → 0,1,2
     assert remap == {0: 0, 1: 1, 3: 2}
+
+
+def test_leave_one_out_split_shared_remap():
+    """val/test splits missing a class must reuse the train remap (ADVICE r1: an
+    independent remap silently shifts every later label)."""
+    import pandas as pd
+
+    from tpuhar.ood import leave_one_out_split
+
+    train = pd.DataFrame({"label": [0, 1, 2, 3, 4] * 2})
+    test = pd.DataFrame({"label": [0, 3, 4, 2]})  # class 1 absent, 2 held out
+
+    _, _, remap = leave_one_out_split(train, 2)
+    assert remap == {0: 0, 1: 1, 3: 2, 4: 3}
+    id_test, ood_test, _ = leave_one_out_split(test, 2, remap=remap)
+    # 3 → 2 and 4 → 3 under the SHARED map (an independent remap over {0,3,4}
+    # would have produced 3 → 1, 4 → 2)
+    assert id_test["label"].tolist() == [0, 2, 3]
+    assert len(ood_test) == 1
+
+
+def test_leave_one_out_split_drops_unseen_class(capsys):
+    import pandas as pd
+
+    from tpuhar.ood import leave_one_out_split
+
+    train = pd.DataFrame({"label": [0, 1, 2, 3]})
+    test = pd.DataFrame({"label": [0, 1, 3, 9]})  # 9 never trained on
+    _, _, remap = leave_one_out_split(train, 2)
+    id_test, _, _ = leave_one_out_split(test, 2, remap=remap)
+    assert 9 not in id_test["label"].tolist()
+    assert not id_test["label"].isna().any()
+    assert "dropping 1 ID rows" in capsys.readouterr().out

@@ -93,6 +93,12 @@ class DataConfig:
     # Normalization
     normalize_imu: bool = True
     median_filter_kernel: int = 5
+    # Where z-score statistics come from: "sequence" (reference behavior,
+    # preprocessing.py:215-219 — stats over the whole recording) or "window"
+    # (stats per window, EXACTLY matching the serving engine, which only ever sees
+    # one window; use this when training models that will be served through
+    # InferenceEngine so train and serve distributions agree).
+    zscore_scope: str = "sequence"
 
     # Augmentation (optional)
     use_augmentation: bool = False
@@ -358,8 +364,8 @@ class Config:
         section_name, key = dotted.split(".", 1)
         section = getattr(self, section_name)
         cur = getattr(section, key)  # raises AttributeError on unknown keys
-        if cur is not None and not isinstance(cur, (list, tuple, Path, bool)):
-            value = type(cur)(value)
+        if isinstance(value, str) and value.lower() in ("none", "null"):
+            value = None
         elif isinstance(cur, bool):
             value = str(value).lower() in ("1", "true", "yes")
         elif isinstance(cur, Path):
@@ -367,6 +373,16 @@ class Config:
         elif isinstance(cur, (list, tuple)):
             parsed = json.loads(value) if isinstance(value, str) else value
             value = type(cur)(parsed)
+        elif cur is not None:
+            value = type(cur)(value)
+        elif isinstance(value, str):
+            # None-default field (e.g. data.imu_original_rate): no current type to
+            # copy — parse JSON-style literals so `--set data.imu_original_rate=100`
+            # yields an int, not the string "100"; non-literals (paths) stay strings.
+            try:
+                value = json.loads(value)
+            except (ValueError, TypeError):
+                pass
         setattr(section, key, value)
         if section_name == "paths":
             self.paths.__post_init__()

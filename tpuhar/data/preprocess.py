@@ -57,6 +57,10 @@ class Preprocessor:
             "missing_video_files": 0,
             "prefix_mismatch": 0,
             "too_short_no_pad": 0,
+            # TPU-native addition: sequences longer than max_sequence_length are
+            # truncated on the device path (static-shape cap) — counted and warned so
+            # the host/device backend divergence is visible (not silent).
+            "truncated_sequences": 0,
         }
 
     # -- IO ------------------------------------------------------------------------
@@ -105,6 +109,8 @@ class Preprocessor:
 
         bucket = _bucket_length(n, window, int(d.max_sequence_length))
         n_eff = min(n, bucket)
+        if n_eff < n:
+            self._warn_truncation(n, bucket)
         padded = np.zeros((bucket, raw.shape[1]), dtype=np.float32)
         padded[:n_eff] = raw[:n_eff]
 
@@ -168,7 +174,18 @@ class Preprocessor:
             n = window
         return [imu[s : s + window] for s in range(0, n - window + 1, stride)]
 
+    def _warn_truncation(self, n: int, bucket: int) -> None:
+        self.preprocessing_stats["truncated_sequences"] += 1
+        print(
+            f"[Preprocess] WARNING: sequence of length {n} truncated to "
+            f"{bucket} on the device path (data.max_sequence_length); windows past "
+            f"the cap are dropped and z-score stats cover the prefix only — use "
+            f"featurize_backend='host' or raise the cap for full-sequence parity"
+        )
+
     def make_windows(self, raw: np.ndarray) -> List[np.ndarray]:
+        if self.data_cfg.zscore_scope == "window":
+            return self._windows_per_window_batch([raw])[0]
         if self.data_cfg.featurize_backend == "host":
             return self._windows_host(raw)
         return self._windows_device(raw)
@@ -181,9 +198,69 @@ class Preprocessor:
         small programs on remote/tunneled TPUs) is amortized across the whole split
         instead of paid per sequence.
         """
+        if self.data_cfg.zscore_scope == "window":
+            return self._windows_per_window_batch(raws)
         if self.data_cfg.featurize_backend == "host":
             return [self._windows_host(r) for r in raws]
         return self._windows_device_batch(raws)
+
+    def _windows_per_window_batch(self, raws: List[np.ndarray]) -> List[List[np.ndarray]]:
+        """Serving-consistent featurization (``zscore_scope == "window"``).
+
+        Raw counts are sliced into windows FIRST, then each window goes through the
+        exact serving transform (``ops.featurize.featurize_windows``: unit scale,
+        medfilt with zero-padded *window* edges, per-window z-score) — so a model
+        trained on these windows sees the same input distribution the
+        ``InferenceEngine`` produces at serving time, eliminating the per-sequence vs
+        per-window z-score skew.
+        """
+        import jax.numpy as jnp
+
+        d = self.data_cfg
+        window, stride = int(d.imu_window_size), int(d.imu_stride)
+
+        slices: List[np.ndarray] = []
+        owners: List[int] = []
+        for i, raw in enumerate(raws):
+            n = raw.shape[0]
+            if d.imu_original_rate is not None and float(d.imu_original_rate) != float(
+                d.imu_sampling_rate
+            ):
+                n_target = int(
+                    round(n * float(d.imu_sampling_rate) / float(d.imu_original_rate))
+                )
+                if n_target > 1:
+                    raw = np.asarray(F.fourier_resample(jnp.asarray(raw), n_target))
+                    n = raw.shape[0]
+            if n < window:
+                if not d.pad_short_sequences:
+                    self.preprocessing_stats["too_short_no_pad"] += 1
+                    continue
+                raw = np.vstack(
+                    [raw, np.zeros((window - n, raw.shape[1]), np.float32)]
+                )
+                n = window
+            for s in range(0, n - window + 1, stride):
+                slices.append(raw[s : s + window])
+                owners.append(i)
+
+        results: List[List[np.ndarray]] = [[] for _ in raws]
+        CHUNK = 1024
+        for start in range(0, len(slices), CHUNK):
+            chunk = np.stack(slices[start : start + CHUNK]).astype(np.float32)
+            feats = np.asarray(
+                F.featurize_windows(
+                    jnp.asarray(chunk),
+                    kernel_size=int(d.median_filter_kernel),
+                    normalize=bool(d.normalize_imu),
+                    racc=float(d.Racc),
+                    rgyro=float(d.Rgyro),
+                )
+            )  # (B, C, T) → store time-major (T, C) like the sequence path
+            feats = np.swapaxes(feats, 1, 2)
+            for j, owner in enumerate(owners[start : start + CHUNK]):
+                results[owner].append(feats[j].astype(np.float32))
+        return results
 
     def _windows_device_batch(self, raws: List[np.ndarray]) -> List[List[np.ndarray]]:
         import jax
@@ -242,6 +319,8 @@ class Preprocessor:
                 for j, i in enumerate(chunk):
                     raw = prepped[i]
                     n_eff = min(raw.shape[0], bucket)
+                    if n_eff < raw.shape[0]:
+                        self._warn_truncation(raw.shape[0], bucket)
                     stacked[j, :n_eff] = raw[:n_eff]
                     lengths[j] = n_eff
                 windows, n_valid = jax.device_get(

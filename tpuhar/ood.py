@@ -110,15 +110,30 @@ def fpr_at_tpr(ood_scores, is_ood, tpr: float = 0.95) -> float:
 # ---------------------------------------------------------------------------------
 # Leave-one-activity-out harness
 # ---------------------------------------------------------------------------------
-def leave_one_out_split(df: pd.DataFrame, held_out_class: int):
+def leave_one_out_split(df: pd.DataFrame, held_out_class: int, remap=None):
     """Partition a manifest into ID (label != c, labels remapped to 0..C-2) and OOD rows.
 
     Returns ``(id_df_with_remapped_labels, ood_df, remap_dict)``.
+
+    ``remap`` shares one label mapping across splits: the LOO harness computes it from
+    the *train* split and passes it into val/test, so a split that happens to be
+    missing a class cannot shift every later label (which would silently corrupt
+    id_accuracy, the Mahalanobis class means, and AUROC). ID rows whose label is
+    absent from the shared mapping (a class never trained on) are dropped.
     """
     id_df = df[df["label"] != held_out_class].copy()
     ood_df = df[df["label"] == held_out_class].copy()
-    kept = sorted(id_df["label"].unique())
-    remap = {old: new for new, old in enumerate(kept)}
+    if remap is None:
+        kept = sorted(id_df["label"].unique())
+        remap = {old: new for new, old in enumerate(kept)}
+    else:
+        dropped = int((~id_df["label"].isin(remap)).sum())
+        if dropped:
+            print(
+                f"[OOD] dropping {dropped} ID rows with labels absent from the "
+                f"train split's class set"
+            )
+            id_df = id_df[id_df["label"].isin(remap)]
     id_df["label"] = id_df["label"].map(remap)
     return id_df, ood_df, remap
 
@@ -158,8 +173,8 @@ class OODEvaluator:
 
         for c in classes:
             id_train, _, remap = leave_one_out_split(train_df, c)
-            id_val, _, _ = leave_one_out_split(val_df, c)
-            id_test, ood_test, _ = leave_one_out_split(test_df, c)
+            id_val, _, _ = leave_one_out_split(val_df, c, remap=remap)
+            id_test, ood_test, _ = leave_one_out_split(test_df, c, remap=remap)
             if len(ood_test) == 0 or len(id_train) == 0:
                 continue
 

@@ -33,6 +33,15 @@ class InferenceEngine:
     ``predict(imu_raw, video_u8)`` takes raw counts ``(B, T, C)`` and uint8 pixels
     ``(B, F, H, W, 3)``; IMU-only engines take just ``imu_raw``.  Outputs logits,
     predictions, and OOD scores.
+
+    **Featurization scope**: the engine z-scores per *window* (only the window exists
+    at serving time), while the offline preprocessor's default z-scores per
+    *sequence* (reference behavior). Models destined for this engine should be
+    trained with ``data.zscore_scope="window"`` — the offline pipeline then applies
+    the exact serving transform and train == serve bit-for-bit
+    (``tests/test_serving.py::test_window_scope_preprocessing_matches_serving``).
+    With sequence-scope training the input distributions differ slightly;
+    at minimum refit the Mahalanobis scorer on served-featurized embeddings.
     """
 
     def __init__(
