@@ -11,9 +11,12 @@ One device pass trains all runs; evaluation shares the test batch across runs wi
 
 Semantics preserved from the sequential path: per-run sampling seeds ``run+42``
 (``evaluator.py:154``), train bs 32 / eval bs 64 (``:160-161``), best-epoch selection
-by balanced accuracy, metric schema.  Differences (documented): early stopping is
-aggregate — training stops when *no* run has improved for ``patience`` epochs, and each
-run's best-epoch parameters are tracked on device via masked selection instead of
+by balanced accuracy, metric schema, and **per-run early stopping**: each run carries
+its own patience counter (``PerRunEarlyStopper``); once a run exhausts patience it is
+frozen — later epochs can no longer change its best params/metric (exactly as if its
+sequential training had stopped). The vmapped program keeps stepping frozen runs
+(lock-step shapes) but their results are masked out; the loop exits when every run has
+stopped. Best-epoch parameters are tracked on device via masked selection instead of
 checkpoint files.
 """
 from __future__ import annotations
@@ -33,6 +36,36 @@ from ..train.steps import TrainState, classification_step_fns
 from .metrics import metrics_from_confusion
 
 TRAIN_BS, EVAL_BS = 32, 64  # reference evaluator.py:160-161
+
+
+class PerRunEarlyStopper:
+    """Vectorized max-mode early stopping: one patience counter per run.
+
+    Equivalent to running ``train.loop.EarlyStopper(patience, "max")`` independently
+    per run and ignoring a run's values after it stops — the semantics the sequential
+    harness gets from per-run trainers (golden-tested against it in
+    ``tests/test_fewshot_parallel.py``).
+    """
+
+    def __init__(self, runs: int, patience: int):
+        self.patience = int(patience)
+        self.best = np.full((runs,), -np.inf)
+        self.counters = np.zeros((runs,), np.int64)
+        self.active = np.ones((runs,), bool)
+
+    def update(self, values) -> np.ndarray:
+        """Feed one epoch's per-run metric; returns the improved mask (active runs
+        that set a new best — only these may have their params snapshotted)."""
+        values = np.asarray(values, np.float64)
+        improved = (values > self.best) & self.active
+        self.best = np.where(improved, values, self.best)
+        self.counters = np.where(improved, 0, self.counters + self.active)
+        self.active &= self.counters < self.patience
+        return improved
+
+    @property
+    def all_stopped(self) -> bool:
+        return not self.active.any()
 
 
 def load_window_bank(df: pd.DataFrame, config) -> np.ndarray:
@@ -186,10 +219,9 @@ def run_parallel_fewshot(
             vtrain = jax.jit(jax.vmap(train_fn, in_axes=(0, 0, 0)), donate_argnums=(0,))
             vpredict = jax.jit(jax.vmap(predict_fn, in_axes=(0, None)))
 
-            best_bal = np.full((R,), -1.0)
+            stopper = PerRunEarlyStopper(R, int(t.patience))
             # deep-copy: the initial params are donated into the first vtrain call
             best_params = jax.tree_util.tree_map(lambda x: x.copy(), states.params)
-            patience_counter = 0
             num_epochs = int(t.train_epochs)
 
             for epoch in range(num_epochs):
@@ -214,7 +246,7 @@ def run_parallel_fewshot(
 
                 cms = _batched_eval_confusions(vpredict, states, fit_bank, fit_labels, C)
                 bal = np.asarray(_balanced_accuracy_batch(jnp.asarray(cms)))
-                improved = bal > best_bal
+                improved = stopper.update(bal)  # per-run; frozen runs never improve
                 if improved.any():
                     mask = jnp.asarray(improved)
 
@@ -225,11 +257,7 @@ def run_parallel_fewshot(
                     best_params = jax.tree_util.tree_map(
                         select, states.params, best_params
                     )
-                    best_bal = np.maximum(best_bal, bal)
-                    patience_counter = 0
-                else:
-                    patience_counter += 1
-                if patience_counter >= int(t.patience):
+                if stopper.all_stopped:
                     break
 
             # final evaluation of best params on the test set
