@@ -58,6 +58,20 @@ def main():
             n = sum(int(b["n_valid"]) for b in loader)
             dt = time.perf_counter() - t0
             log(f"clips ({workers} decode threads): {n / dt:7.0f} clips/s")
+
+        # process-pool decode (--workers N; scales with cores on real hosts —
+        # this container has ONE core, so expect parity at best here)
+        procs = [int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--workers=")]
+        for p in procs or [2]:
+            loader = BatchLoader(
+                df, cfg, mode="cross_modal", batch_size=32, prefetch=2,
+                decode_processes=p,
+            )
+            t0 = time.perf_counter()
+            n = sum(int(b["n_valid"]) for b in loader)
+            dt = time.perf_counter() - t0
+            log(f"clips ({p} decode processes): {n / dt:7.0f} clips/s "
+                f"(includes one-time spawn)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

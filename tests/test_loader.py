@@ -159,3 +159,22 @@ def test_loader_prefetch_matches_sync(synthetic_config):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_process_pool_decode_matches_threaded(synthetic_config):
+    """decode_processes=2 must produce byte-identical batches to the in-process
+    thread decode (VERDICT r1 #8: multi-core host feeding path)."""
+    import numpy as np
+
+    from tpuhar.data.loader import BatchLoader
+    from tpuhar.data.preprocess import Preprocessor
+
+    cfg = synthetic_config
+    df = Preprocessor(cfg).preprocess_split("train", save=True)
+    kw = dict(mode="cross_modal", batch_size=4, prefetch=0)
+    threaded = list(BatchLoader(df.head(8), cfg, **kw))
+    pooled = list(BatchLoader(df.head(8), cfg, decode_processes=2, **kw))
+    assert len(threaded) == len(pooled)
+    for bt, bp in zip(threaded, pooled):
+        np.testing.assert_array_equal(bt["video"], bp["video"])
+        np.testing.assert_array_equal(bt["imu"], bp["imu"])

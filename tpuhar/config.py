@@ -120,6 +120,10 @@ class DataConfig:
     # Cap for on-device variable-length sequence processing (sequences are padded+masked
     # to the next bucket <= this; keeps XLA shapes static).
     max_sequence_length: int = 16384
+    # Video-decode worker processes for the loader (0 = in-process thread pool).
+    # The process pool scales clip decode with host cores (torch DataLoader
+    # num_workers equivalent); threads suffice on small hosts.
+    decode_processes: int = 0
     # IMU featurizer fed to the encoder: "raw" (reference behavior) or "stft"
     # (north-star spectrogram path).
     imu_featurizer: str = "raw"

@@ -182,7 +182,9 @@ class BatchLoader:
         drop_last: bool = False,
         seed: int = 0,
         decode_workers: int = 8,
+        decode_processes: Optional[int] = None,
         prefetch: int = 2,
+        return_info: bool = False,
     ):
         self.df = df.reset_index(drop=True)
         self.config = config
@@ -196,7 +198,19 @@ class BatchLoader:
         self.seed = seed
         self.epoch = 0
         self.decode_workers = decode_workers
+        # Multi-core hosts: decode clips in a spawn-context process pool (scales with
+        # cores; threads are partially GIL-bound). 0/None = in-process threads.
+        self.decode_processes = int(
+            decode_processes
+            if decode_processes is not None
+            else getattr(d, "decode_processes", 0) or 0
+        )
+        self._decode_pool = None  # created lazily on the first cross-modal batch
         self.prefetch = prefetch
+        # reference IMUClassificationDataset's return_info (datasets.py:331-336):
+        # pass identity columns through for analysis tooling (host-side lists,
+        # not device arrays)
+        self.return_info = return_info
         self.channels = d.imu_channels
         self.window = d.imu_window_size
         self.window_seconds = d.imu_window_size / float(d.imu_sampling_rate)
@@ -215,6 +229,7 @@ class BatchLoader:
         from .frames import FrameBankReader
 
         banks = {}
+        self._frame_bank_paths = {}
         for split in self.df["split"].unique():
             base = Path(self.config.paths.preprocessed_dir)
             bin_path = base / f"{split}_frames.bin"
@@ -227,6 +242,7 @@ class BatchLoader:
             if int(self.df[self.df["split"] == split]["bank_idx"].max()) >= len(reader):
                 return None
             banks[split] = reader
+            self._frame_bank_paths[split] = (str(bin_path), str(idx_path))
         return banks
 
     def _open_banks(self):
@@ -294,11 +310,20 @@ class BatchLoader:
         if self.mode == "classification":
             labels = rows["label"].to_numpy(dtype=np.int32)
             batch["label"] = np.pad(labels, (0, B - n_valid))
+            if self.return_info:
+                for col in ("class_name", "user_id"):
+                    if col in rows.columns:
+                        batch[col] = rows[col].tolist() + [None] * (B - n_valid)
         else:
             H, W = d.video_resize
             T = d.video_frames_per_window
             video = np.zeros((B, T, H, W, 3), dtype=np.uint8)
             base = Path(self.config.paths.base_input)
+
+            if self.decode_processes > 0:
+                self._decode_with_processes(rows, video, base, H, W, T, d)
+                batch["video"] = video
+                return batch
 
             def _decode(i_row):
                 i, row = i_row
@@ -327,6 +352,42 @@ class BatchLoader:
                     _decode(item)
             batch["video"] = video
         return batch
+
+    def _decode_with_processes(self, rows, video, base, H, W, T, d) -> None:
+        """Decode a batch's clips in the shared process pool (multi-core hosts)."""
+        from .parallel_decode import ProcessDecodePool
+
+        if self._decode_pool is None:
+            self._decode_pool = ProcessDecodePool(self.decode_processes)
+        specs = []
+        for i, (_, row) in enumerate(rows.iterrows()):
+            if self._frame_banks is not None:
+                r = int(row["bank_idx"])
+                split = row["split"]
+                if self._frame_banks[split].has_frames(r):
+                    bin_path, idx_path = self._frame_bank_paths[split]
+                    specs.append(
+                        {
+                            "kind": "bank", "i": i, "bin_path": bin_path,
+                            "idx_path": idx_path, "row": r, "resize_hw": (H, W),
+                        }
+                    )
+                    continue
+                if not bool(row.get("video_exists", True)):
+                    specs.append({"kind": "black", "i": i})
+                    continue
+            specs.append(
+                {
+                    "kind": "video", "i": i,
+                    "path": str(base / str(row["video_path"])),
+                    "start_frame": int(row.get("start_frame", 0)),
+                    "num_frames": T,
+                    "window_seconds": self.window_seconds,
+                    "fallback_fps": float(d.video_fps),
+                    "resize_hw": (H, W),
+                }
+            )
+        self._decode_pool.decode_batch(specs, video)
 
     def _batch_indices(self):
         order = self._order()

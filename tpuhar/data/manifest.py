@@ -179,7 +179,9 @@ class FewShotSampler:
         self.df = metadata_df
         self.config = config
 
-    def sample_k_per_class(self, k: int, seed: Optional[int] = None) -> pd.DataFrame:
+    def sample_k_per_class(
+        self, k: int, seed: Optional[int] = None, verbose: bool = False
+    ) -> pd.DataFrame:
         if seed is not None:
             np.random.seed(seed)
         sampled = []
@@ -189,7 +191,15 @@ class FewShotSampler:
                 sampled.append(class_df.sample(n=k, random_state=seed))
             else:
                 sampled.append(class_df)
-        return pd.concat(sampled, ignore_index=True)
+        result = pd.concat(sampled, ignore_index=True)
+        if verbose:
+            # reference console summary (datasets.py:362) — opt-in: the vmapped
+            # harness calls this R×cells times and the line would be pure noise
+            print(
+                f"[FewShotSampler] {len(result)} samples "
+                f"({k}/class × {self.df['class_name'].nunique()} classes)"
+            )
+        return result
 
     def sample_balanced_test_set(self, n_per_class: int = 20, seed: Optional[int] = None):
         return self.sample_k_per_class(n_per_class, seed)
