@@ -178,3 +178,27 @@ def test_process_pool_decode_matches_threaded(synthetic_config):
     for bt, bp in zip(threaded, pooled):
         np.testing.assert_array_equal(bt["video"], bp["video"])
         np.testing.assert_array_equal(bt["imu"], bp["imu"])
+
+
+def test_loader_fusion_mode_carries_video_and_labels(synthetic_config):
+    """``mode="fusion"`` = cross_modal batch (imu+video) + classification labels —
+    the supervised training surface for the north-star FusionClassifier."""
+    from tpuhar.data.preprocess import Preprocessor
+
+    cfg = synthetic_config
+    df = Preprocessor(cfg).preprocess_split("val", save=True)
+    H, W = cfg.data.video_resize
+    T = cfg.data.video_frames_per_window
+    bs = 4
+    fused = list(BatchLoader(df, cfg, mode="fusion", batch_size=bs, prefetch=0))
+    assert all(b["video"].shape == (bs, T, H, W, 3) for b in fused)
+    assert all(b["video"].dtype == np.uint8 for b in fused)
+    assert all(b["label"].shape == (bs,) for b in fused)
+
+    # imu/label agree with classification mode, video with cross_modal mode
+    cls = list(BatchLoader(df, cfg, mode="classification", batch_size=bs, prefetch=0))
+    cm = list(BatchLoader(df, cfg, mode="cross_modal", batch_size=bs, prefetch=0))
+    for f, c, v in zip(fused, cls, cm):
+        np.testing.assert_array_equal(f["imu"], c["imu"])
+        np.testing.assert_array_equal(f["label"], c["label"])
+        np.testing.assert_array_equal(f["video"], v["video"])

@@ -174,3 +174,23 @@ def test_pipeline_mesh_matches_single_device(synthetic_dataset, tmp_path):
         pipe.run_preprocessing()
         best[name] = pipe.run_pretraining().best_metric
     assert abs(best["dp"] - best["single"]) < 1e-4
+
+
+def test_ood_fusion_model_kind(synthetic_config):
+    """ood.model_kind="fusion": the LOO harness trains FusionClassifiers (IMU+video)
+    and scores OOD on the fused embedding — the backbone head-to-head surface
+    (scripts/bench_accuracy.py) in miniature."""
+    from tpuhar.cli import Pipeline
+
+    cfg = _shrink(synthetic_config)
+    cfg.ood.model_kind = "fusion"
+    cfg.ood.leave_out_classes = [0]
+    cfg.training.train_epochs = 1
+    cfg.model.fusion_heads = 4
+
+    p = Pipeline(cfg)
+    p.run_preprocessing()
+    ood = p.run_ood()
+    assert len(ood) == len(cfg.ood.scores)
+    assert ood["auroc"].notna().all()
+    assert (ood["auroc"] <= 1.0).all() and (ood["auroc"] >= 0.0).all()

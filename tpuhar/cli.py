@@ -254,7 +254,8 @@ class Pipeline:
         enc_params, _ = self._load_pretrained_encoder()
         evaluator = OODEvaluator(cfg, self._next_key())
         results = evaluator.run_loo_experiments(
-            train_df, val_df, test_df, encoder_params=enc_params
+            train_df, val_df, test_df, encoder_params=enc_params,
+            model_kind=str(getattr(cfg.ood, "model_kind", "imu")),
         )
         results_dir = Path(cfg.paths.results_dir)
         results.to_csv(results_dir / "ood_results.csv", index=False)

@@ -303,6 +303,9 @@ class OODConfig:
     # Leave-one-activity-out protocol: each listed class index is held out as OOD in
     # turn; empty list means "every class in turn".
     leave_out_classes: List[int] = field(default_factory=list)
+    # "imu" (reference-style IMU classifier) or "fusion" (north-star FusionClassifier
+    # on IMU+video windows; AUROC then reflects the video tower's representation).
+    model_kind: str = "imu"
 
 
 class Config:

@@ -165,7 +165,9 @@ def decode_clip(
 class BatchLoader:
     """Deterministic, optionally shuffled batch iterator over a window manifest.
 
-    ``mode``: "classification" → {imu, label, idx}; "cross_modal" → {imu, video, idx}.
+    ``mode``: "classification" → {imu, label, idx}; "cross_modal" → {imu, video, idx};
+    "fusion" → {imu, video, label, idx} (supervised fusion-classifier training — the
+    north-star serving model trained end-to-end; no reference equivalent).
     Train semantics (``shuffle=True, drop_last=True``) match the reference factory
     (``datasets.py:398-408``); eval batches are zero-padded to the batch size with
     ``n_valid`` recording the real count (static shapes for jit).
@@ -215,7 +217,9 @@ class BatchLoader:
         self.window = d.imu_window_size
         self.window_seconds = d.imu_window_size / float(d.imu_sampling_rate)
         self._banks = self._open_banks()
-        self._frame_banks = self._open_frame_banks() if mode == "cross_modal" else None
+        self._frame_banks = (
+            self._open_frame_banks() if mode in ("cross_modal", "fusion") else None
+        )
 
     def _open_frame_banks(self):
         """Open per-split JPEG frame banks written by the preprocessor, if present.
@@ -307,14 +311,14 @@ class BatchLoader:
             "idx": np.pad(rows_idx.astype(np.int32), (0, B - n_valid)),
             "n_valid": np.int32(n_valid),
         }
-        if self.mode == "classification":
+        if self.mode in ("classification", "fusion"):
             labels = rows["label"].to_numpy(dtype=np.int32)
             batch["label"] = np.pad(labels, (0, B - n_valid))
             if self.return_info:
                 for col in ("class_name", "user_id"):
                     if col in rows.columns:
                         batch[col] = rows[col].tolist() + [None] * (B - n_valid)
-        else:
+        if self.mode in ("cross_modal", "fusion"):
             H, W = d.video_resize
             T = d.video_frames_per_window
             video = np.zeros((B, T, H, W, 3), dtype=np.uint8)
@@ -441,7 +445,7 @@ def create_dataloaders(
     shuffle_train: bool = True,
 ) -> Dict[str, BatchLoader]:
     """Loader factory matching the reference signature (``datasets.py:372-434``)."""
-    if mode not in ("cross_modal", "classification"):
+    if mode not in ("cross_modal", "classification", "fusion"):
         raise ValueError(f"Unknown mode: {mode}")
     seed = config.training.seed
     return {

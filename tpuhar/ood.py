@@ -158,11 +158,20 @@ class OODEvaluator:
         classes: Optional[List[int]] = None,
         encoder_params=None,
         verbose: bool = True,
+        model_kind: str = "imu",
     ) -> pd.DataFrame:
+        """``model_kind``: "imu" (reference behavior — IMU classifier per held-out
+        class) or "fusion" (north-star FusionClassifier on IMU+video windows; OOD
+        scores come from the fused embedding, so the video tower's representation
+        quality shows up in AUROC)."""
         from .data.loader import BatchLoader
         from .eval.evaluator import Evaluator
-        from .train.factory import build_classification_task
+        from .train.factory import build_classification_task, build_fusion_task
         from .train.loop import ClassificationTrainer
+
+        if model_kind not in ("imu", "fusion"):
+            raise ValueError(f"Unknown model_kind: {model_kind}")
+        loader_mode = "classification" if model_kind == "imu" else "fusion"
 
         cfg = self.config
         classes = classes or list(cfg.ood.leave_out_classes) or sorted(
@@ -187,10 +196,16 @@ class OODEvaluator:
             self.rng, init_rng, fit_rng = jax.random.split(self.rng, 3)
             bs = min(loo_cfg.training.train_batch_size, max(len(id_train), 1))
             spe = max(len(id_train) // bs, 1)
-            task = build_classification_task(
-                loo_cfg, "finetune", spe, init_rng,
-                encoder_params=encoder_params, batch_size=bs,
-            )
+            if model_kind == "imu":
+                task = build_classification_task(
+                    loo_cfg, "finetune", spe, init_rng,
+                    encoder_params=encoder_params, batch_size=bs,
+                )
+            else:
+                task = build_fusion_task(
+                    loo_cfg, spe, init_rng,
+                    encoder_params=encoder_params, batch_size=bs,
+                )
             trainer = ClassificationTrainer(
                 loo_cfg, task.state, task.train_step, task.eval_step,
                 Path(loo_cfg.paths.checkpoints_dir) / f"ood_loo_{c}", fit_rng, "finetune",
@@ -198,21 +213,21 @@ class OODEvaluator:
             trainer.verbose = False
             task.state = trainer.fit(
                 BatchLoader(
-                    id_train, loo_cfg, mode="classification", batch_size=bs,
+                    id_train, loo_cfg, mode=loader_mode, batch_size=bs,
                     shuffle=True, drop_last=True, seed=int(c), prefetch=0,
                 ),
-                BatchLoader(id_val, loo_cfg, mode="classification", prefetch=0),
+                BatchLoader(id_val, loo_cfg, mode=loader_mode, prefetch=0),
             )
 
             ev = Evaluator(task, loo_cfg)
             id_out = ev.evaluate(
-                BatchLoader(id_test, loo_cfg, mode="classification", prefetch=0)
+                BatchLoader(id_test, loo_cfg, mode=loader_mode, prefetch=0)
             )
             ood_out = ev.evaluate(
-                BatchLoader(ood_test, loo_cfg, mode="classification", prefetch=0)
+                BatchLoader(ood_test, loo_cfg, mode=loader_mode, prefetch=0)
             )
             tr_out = ev.evaluate(
-                BatchLoader(id_train, loo_cfg, mode="classification", prefetch=0)
+                BatchLoader(id_train, loo_cfg, mode=loader_mode, prefetch=0)
             )
 
             maha = None
