@@ -53,6 +53,7 @@ class InferenceEngine:
         batch_sizes: Optional[List[int]] = None,
         mesh=None,
         mahalanobis: Optional[MahalanobisScorer] = None,
+        fold_normalize: bool = True,
     ):
         self.config = config
         self.imu_only = imu_only
@@ -63,6 +64,16 @@ class InferenceEngine:
 
         model = IMUClassifier(config) if imu_only else FusionClassifier(config)
         d = config.data
+
+        # Exact serving rewrite (ops/fold.py): consume raw uint8 pixels, with the
+        # ImageNet affine folded into the patch-embed stem — one less HBM pass.
+        self.folded = False
+        if fold_normalize and not imu_only:
+            from .ops.fold import fold_normalization
+
+            variables, self.folded = fold_normalization(variables, config)
+        folded = self.folded
+        compute_dtype = jnp.dtype(config.model.compute_dtype)
 
         def forward(imu_raw, video_u8=None):
             imu = featurize_windows_auto(
@@ -75,7 +86,11 @@ class InferenceEngine:
             if imu_only:
                 logits, emb = model.apply(variables, imu, train=False)
             else:
-                video = normalize_clip(video_u8)
+                video = (
+                    video_u8.astype(compute_dtype)
+                    if folded
+                    else normalize_clip(video_u8)
+                )
                 logits, emb = model.apply(variables, imu, video, train=False)
             out = {
                 "logits": logits,
