@@ -124,6 +124,11 @@ class DataConfig:
     # The process pool scales clip decode with host cores (torch DataLoader
     # num_workers equivalent); threads suffice on small hosts.
     decode_processes: int = 0
+    # Input-pipeline backend: "default" (BatchLoader) or "grain" (Google Grain
+    # MapDataset with multiprocess prefetch — production multi-core hosts).
+    loader_backend: str = "default"
+    # Grain worker processes (0 = in-process map; only used when loader_backend="grain").
+    grain_workers: int = 0
     # IMU featurizer fed to the encoder: "raw" (reference behavior) or "stft"
     # (north-star spectrogram path).
     imu_featurizer: str = "raw"

@@ -444,14 +444,24 @@ def create_dataloaders(
     mode: str = "cross_modal",
     shuffle_train: bool = True,
 ) -> Dict[str, BatchLoader]:
-    """Loader factory matching the reference signature (``datasets.py:372-434``)."""
+    """Loader factory matching the reference signature (``datasets.py:372-434``).
+
+    ``data.loader_backend="grain"`` swaps in the Grain-backed pipeline
+    (``grain_loader.GrainBatchLoader``, same batch contract) with
+    ``data.grain_workers`` decode processes.
+    """
     if mode not in ("cross_modal", "classification", "fusion"):
         raise ValueError(f"Unknown mode: {mode}")
+    cls = BatchLoader
+    if getattr(config.data, "loader_backend", "default") == "grain":
+        from .grain_loader import GrainBatchLoader
+
+        cls = GrainBatchLoader
     seed = config.training.seed
     return {
-        "train": BatchLoader(
+        "train": cls(
             train_df, config, mode=mode, shuffle=shuffle_train, drop_last=True, seed=seed
         ),
-        "val": BatchLoader(val_df, config, mode=mode),
-        "test": BatchLoader(test_df, config, mode=mode),
+        "val": cls(val_df, config, mode=mode),
+        "test": cls(test_df, config, mode=mode),
     }
