@@ -41,14 +41,56 @@ def main():
     log(f"flash vs XLA attention maxdiff: {err:.2e}")
     assert err < 2e-2, "flash attention mismatch"
 
+    # --- block sweep on the attention op alone (B=64 clips, videomae_small shape) --
+    Ba = 64
+    qa = npr.normal(size=(Ba, 6, N, D)).astype(np.float32)
+    ka = npr.normal(size=(Ba, 6, N, D)).astype(np.float32)
+    va = npr.normal(size=(Ba, 6, N, D)).astype(np.float32)
+    combos = [("xla", None, None), ("flash", 512, 512), ("flash", 256, 256),
+              ("flash", 128, 128), ("flash", 256, 128), ("flash", 128, 256),
+              ("flash", 512, 256)]
+    for kind, bq, bk in combos:
+        @partial(jax.jit, static_argnames=("iters",))
+        def chained_attn(q, k, v, iters: int, _bq=bq, _bk=bk, _kind=kind):
+            def body(i, carry):
+                cur, acc = carry
+                if _kind == "xla":
+                    out = _reference_attention(cur, k, v, 1.0 / np.sqrt(D))
+                else:
+                    out = flash_mha(cur, k, v, block_q=_bq, block_k=_bk)
+                delta = jnp.sum(out[0, 0, 0]) * 1e-20
+                return cur + delta, acc + delta
+
+            _, acc = jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))
+            return acc
+
+        def run(kk):
+            t0 = time.perf_counter()
+            float(np.asarray(chained_attn(qa, ka, va, kk)))
+            return time.perf_counter() - t0
+
+        try:
+            run(1); run(8)
+            t1 = min(run(1) for _ in range(2))
+            t8 = min(run(8) for _ in range(2))
+            dt = (t8 - t1) / 7 * 1e3
+            log(f"attn {kind} bq={bq} bk={bk}: {dt:7.2f} ms")
+        except Exception as e:
+            log(f"attn {kind} bq={bq} bk={bk}: FAILED {type(e).__name__}: {str(e)[:100]}")
+
     # --- flagship timing with/without flash ---------------------------------------
     from __graft_entry__ import _build_forward, _flagship_config
 
+    import os
+    blocks = os.environ.get("FLASH_BLOCKS", "")
     batch = 64
     for use_flash in (False, True):
         cfg = _flagship_config()
         cfg.model.video_backbone = "videomae_small"
         cfg.model.use_flash_attention = use_flash
+        if use_flash and blocks:
+            cfg.model.flash_block_q, cfg.model.flash_block_k = (
+                int(x) for x in blocks.split(","))
         fn, (imu_ex, video_ex) = _build_forward(cfg, batch)
         imu = jax.device_put(
             npr.normal(0, 8000, size=imu_ex.shape).astype(np.float32)

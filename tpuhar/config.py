@@ -202,8 +202,11 @@ class ModelConfig:
     remat_video: bool = False
 
     # Pallas flash attention in the video ViT (TPU only; falls back to XLA attention
-    # elsewhere).
+    # elsewhere). Block sizes must be 128-multiples; at N=1568 smaller blocks pad
+    # less (512->2048 tokens, 256->1792, 128->1664) — sweep scripts/perf_flash.py.
     use_flash_attention: bool = False
+    flash_block_q: int = 512
+    flash_block_k: int = 512
 
     # --- quirk-replication flags (SURVEY.md §2.1) ---
     # Q1: reference truncates the IMU token stream from 1+C*N=91 tokens to

@@ -77,6 +77,8 @@ class PreNormBlock(nn.Module):
     d_ff: int
     dropout: float = 0.0
     use_flash: bool = False
+    flash_block_q: int = 512
+    flash_block_k: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +90,8 @@ class PreNormBlock(nn.Module):
             h = FlashSelfAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.d_model,
+                block_q=self.flash_block_q,
+                block_k=self.flash_block_k,
                 dtype=self.dtype,
                 name="self_attn",
             )(h, deterministic=deterministic)

@@ -77,6 +77,8 @@ class VideoViT(nn.Module):
     remat: bool = False
     # Pallas flash attention for the (long) token stream; TPU only.
     use_flash: bool = False
+    flash_block_q: int = 512
+    flash_block_k: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,6 +100,8 @@ class VideoViT(nn.Module):
                 d_ff=self.d_model * self.mlp_ratio,
                 dropout=self.dropout,
                 use_flash=self.use_flash,
+                flash_block_q=self.flash_block_q,
+                flash_block_k=self.flash_block_k,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, not train)
@@ -343,6 +347,8 @@ class VideoEncoder(nn.Module):
     pool: str = "mean"
     remat: bool = False
     use_flash: bool = False
+    flash_block_q: int = 512
+    flash_block_k: int = 512
     use_final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -355,6 +361,7 @@ class VideoEncoder(nn.Module):
             emb, tokens = VideoViT(
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
                 remat=self.remat, use_flash=self.use_flash,
+                flash_block_q=self.flash_block_q, flash_block_k=self.flash_block_k,
                 use_final_norm=self.use_final_norm, dtype=self.dtype,
                 name="vit",
             )(x, train=train)
@@ -402,6 +409,8 @@ def build_video_encoder(config, dtype=None):
         video_d_model=m.video_d_model,
         remat=m.remat_video,
         use_flash=m.use_flash_attention,
+        flash_block_q=int(getattr(m, "flash_block_q", 512)),
+        flash_block_k=int(getattr(m, "flash_block_k", 512)),
         use_final_norm=bool(getattr(m, "video_use_final_norm", True)),
         dtype=dtype,
     )

@@ -38,7 +38,11 @@ def flash_mha(
     """Multi-head attention over ``(B, H, N, D)`` tensors.
 
     ``use_flash=False`` (or non-TPU backends) falls back to the XLA reference; the
-    flash path pads N to a ``block_size`` multiple and masks padding with segment ids.
+    flash path pads N to a block multiple and masks padding with segment ids.
+
+    Block choice matters at VideoMAE's N=1568: blocks must be 128-multiples, so the
+    original 512/512 config padded to 2048 (+30% wasted K-work). Smaller blocks pad
+    less: 128→1664 (+6%), 256→1792 (+14%). Sweep with ``scripts/perf_flash.py``.
     """
     B, H, N, D = q.shape
     if sm_scale is None:
@@ -54,8 +58,10 @@ def flash_mha(
         flash_attention,
     )
 
-    # pad to lcm-ish multiple of the larger block so both q and k tile evenly
-    block = max(block_q, block_k)
+    # pad to a common multiple of both blocks so q and k tile evenly
+    import math
+
+    block = block_q * block_k // math.gcd(block_q, block_k)
     pad = (-N) % block
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -99,6 +105,8 @@ class FlashSelfAttention(nn.Module):
     num_heads: int
     qkv_features: int
     use_flash: bool = True
+    block_q: int = 512
+    block_k: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,7 +126,10 @@ class FlashSelfAttention(nn.Module):
         v = proj("value")
         # (B, N, H, Dh) → (B, H, N, Dh)
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-        ctx = flash_mha(q, k, v, use_flash=self.use_flash)
+        ctx = flash_mha(
+            q, k, v, use_flash=self.use_flash,
+            block_q=self.block_q, block_k=self.block_k,
+        )
         ctx = jnp.swapaxes(ctx, 1, 2)  # (B, N, H, Dh)
         out = nn.DenseGeneral(
             features=D, axis=(-2, -1), dtype=self.dtype, name="out"
