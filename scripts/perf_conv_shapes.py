@@ -65,6 +65,26 @@ def time_conv(B, H, W, Cin, Cout, k=3, stride=1, iters=20):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "grid":
+        # Flagship grid-shape question: TPUVideoCNN's residual stages run at
+        # 14² (patch-16 stem from 224²) — would a patch-14 stem (16² grid, pow-2
+        # spatial) tile better on the MXU?  Same-channel comparison at the
+        # serving frame count, plus the post-downsample stage (7² vs 8²).
+        B = 4096  # frames (= 256 windows × 16), the serving shape
+        for s in [
+            (B, 14, 14, 256, 256, 3, 1),   # shipped s0
+            (B, 16, 16, 256, 256, 3, 1),   # patch-14 stem s0
+            (B, 7, 7, 512, 512, 3, 1),     # shipped s1
+            (B, 8, 8, 512, 512, 3, 1),     # patch-14 stem s1
+            (B, 14, 14, 256, 512, 3, 2),   # shipped down1
+            (B, 16, 16, 256, 512, 3, 2),   # patch-14 down1
+        ]:
+            try:
+                time_conv(*s)
+            except Exception as e:
+                log(f"{s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+        return
+
     B = 1024  # frames (≈ 64 clips × 16)
     shapes = [
         # resnet18's actual layer shapes

@@ -45,9 +45,63 @@ def timeit(fn, *args, iters=30):
     return (tk - t1) / (iters - 1) * 1e3
 
 
+def probe_tpucnn_shapes():
+    """bf16 vs int8 (and int8+fused requantize epilogue) at TPUVideoCNN's layer
+    shapes, serving frame count.  The resnet18 int8 PTQ path bought 1.02× because
+    that tower is bandwidth/shape-bound; tpu_cnn's stages are MXU-bound (roofline),
+    so the int8 MXU rate (2×) could translate directly — IF XLA fuses the
+    requantize into the conv epilogue instead of a separate pass."""
+    import jax
+    import jax.numpy as jnp
+
+    npr = np.random.default_rng(0)
+    F = 4096  # serving frames = 256 windows × 16
+    for (H, C) in [(14, 256), (7, 512)]:
+        x_f = jax.device_put(npr.normal(size=(F, H, H, C)).astype(np.float32))
+        w_f = jax.device_put(npr.normal(size=(3, 3, C, C)).astype(np.float32))
+        x_i = jax.device_put(npr.integers(-127, 127, size=(F, H, H, C)).astype(np.int8))
+        w_i = jax.device_put(npr.integers(-127, 127, size=(3, 3, C, C)).astype(np.int8))
+        dn = jax.lax.conv_dimension_numbers(
+            x_f.shape, w_f.shape, ("NHWC", "HWIO", "NHWC")
+        )
+
+        def conv_bf16(x, w):
+            return jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
+
+        def conv_int8(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+
+        def conv_int8_requant(x, w):
+            # full serving epilogue: int32 acc → scale → relu → round → int8
+            acc = conv_int8(x, w)
+            y = acc.astype(jnp.float32) * 0.0123
+            return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), 0, 127).astype(jnp.int8)
+
+        flops = 2.0 * F * H * H * C * C * 9
+        t_bf = timeit(jax.jit(conv_bf16), x_f, w_f)
+        log(f"({H}²,{C}) conv bf16        : {t_bf:7.2f} ms ({flops / t_bf / 1e9:6.0f} TFLOP/s)")
+        for name, fn, xi in [("int8 raw    ", conv_int8, x_i),
+                             ("int8+requant", conv_int8_requant, x_i)]:
+            try:
+                t = timeit(jax.jit(fn), xi, w_i)
+                log(f"({H}²,{C}) conv {name}: {t:7.2f} ms ({flops / t / 1e9:6.0f} TOP/s, {t_bf / t:.2f}x vs bf16)")
+            except Exception as e:
+                log(f"({H}²,{C}) conv {name} FAILED: {type(e).__name__}: {str(e)[:100]}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if len(sys.argv) > 1 and sys.argv[1] == "tpucnn":
+        probe_tpucnn_shapes()
+        return
 
     npr = np.random.default_rng(0)
     B, H, W, C = 1024, 56, 56, 64
