@@ -208,6 +208,11 @@ class ModelConfig:
     flash_block_q: int = 512
     flash_block_k: int = 512
 
+    # Serving conv backend for the TPUVideoCNN residual stages: "xla" or "pallas"
+    # (ops/conv3x3.py fused conv+BN+ReLU+residual kernel; eval-mode only — training
+    # always uses XLA convs with live batch stats).
+    conv_backend: str = "xla"
+
     # --- quirk-replication flags (SURVEY.md §2.1) ---
     # Q1: reference truncates the IMU token stream from 1+C*N=91 tokens to
     # max_patches+1=16, so the transformer only ever sees channel 0. Default False sizes

@@ -243,6 +243,46 @@ class MobileNetV2(nn.Module):
         return jnp.mean(h, axis=(1, 2))
 
 
+class _Conv3x3Params(nn.Module):
+    """Declare an ``nn.Conv(3×3, use_bias=False)``-compatible kernel without running
+    the XLA conv — the Pallas serving branch reads the param and feeds
+    ``ops.conv3x3.conv3x3_bn_act`` instead.  Name/shape/init match ``nn.Conv`` exactly
+    so checkpoints are interchangeable between backends."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
+class _BNParams(nn.Module):
+    """Declare ``nn.BatchNorm``-compatible variables (params scale/bias + batch_stats
+    mean/var) without executing the normalization — the Pallas branch folds them into
+    the conv epilogue (``ops.conv3x3.fold_bn``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, f, jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), f
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), f
+        )
+        return scale, bias, mean.value, var.value
+
+
 class TPUVideoCNN(nn.Module):
     """TPU-efficient per-frame CNN designed from measured v5e MXU utilization.
 
@@ -262,10 +302,13 @@ class TPUVideoCNN(nn.Module):
     widths: Tuple[int, int] = (256, 512)
     blocks_per_stage: int = 1
     patch: int = 16
+    conv_backend: str = "xla"  # "pallas" fuses the stage convs at eval (ops/conv3x3.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        use_pallas = self.conv_backend == "pallas" and not train
+
         def bn_relu(h, name):
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype,
@@ -291,20 +334,38 @@ class TPUVideoCNN(nn.Module):
                 h = bn_relu(h, f"down{si}")
             for bi in range(self.blocks_per_stage):
                 residual = h
-                h2 = nn.Conv(
-                    feats, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
-                    name=f"s{si}b{bi}a_conv",
-                )(h)
-                h2 = bn_relu(h2, f"s{si}b{bi}a")
-                h2 = nn.Conv(
-                    feats, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
-                    name=f"s{si}b{bi}b_conv",
-                )(h2)
-                h2 = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, dtype=self.dtype,
-                    name=f"s{si}b{bi}b_bn",
-                )(h2)
-                h = nn.relu(h2 + residual)
+                if use_pallas:
+                    # Serving path: both stage convs + folded BN + ReLU (+ residual)
+                    # run as fused Pallas kernels (ops/conv3x3.py) — identical
+                    # variable tree to the XLA branch, so checkpoints interchange.
+                    from ..ops.conv3x3 import conv3x3_bn_act, fold_bn
+
+                    k_a = _Conv3x3Params(
+                        feats, h.shape[-1], name=f"s{si}b{bi}a_conv"
+                    )()
+                    sa, ba = fold_bn(*_BNParams(feats, name=f"s{si}b{bi}a_bn")())
+                    k_b = _Conv3x3Params(feats, feats, name=f"s{si}b{bi}b_conv")()
+                    sb, bb = fold_bn(*_BNParams(feats, name=f"s{si}b{bi}b_bn")())
+                    h2 = conv3x3_bn_act(h, k_a.astype(self.dtype), sa, ba, relu=True)
+                    h = conv3x3_bn_act(
+                        h2, k_b.astype(self.dtype), sb, bb,
+                        residual=residual, relu=True,
+                    )
+                else:
+                    h2 = nn.Conv(
+                        feats, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"s{si}b{bi}a_conv",
+                    )(h)
+                    h2 = bn_relu(h2, f"s{si}b{bi}a")
+                    h2 = nn.Conv(
+                        feats, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"s{si}b{bi}b_conv",
+                    )(h2)
+                    h2 = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                        name=f"s{si}b{bi}b_bn",
+                    )(h2)
+                    h = nn.relu(h2 + residual)
         return jnp.mean(h, axis=(1, 2))
 
 
@@ -350,6 +411,7 @@ class VideoEncoder(nn.Module):
     flash_block_q: int = 512
     flash_block_k: int = 512
     use_final_norm: bool = True
+    conv_backend: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -375,12 +437,14 @@ class VideoEncoder(nn.Module):
         elif self.backbone == "mobilenet_v2":
             net = MobileNetV2(dtype=self.dtype, name="backbone")
         elif self.backbone == "tpu_cnn":
-            net = TPUVideoCNN(dtype=self.dtype, name="backbone")
+            net = TPUVideoCNN(
+                conv_backend=self.conv_backend, dtype=self.dtype, name="backbone"
+            )
         elif self.backbone == "tpu_cnn_large":
             # accuracy-oriented variant: wider/deeper, still ≥384-channel stages
             net = TPUVideoCNN(
-                widths=(384, 512), blocks_per_stage=2, dtype=self.dtype,
-                name="backbone",
+                widths=(384, 512), blocks_per_stage=2,
+                conv_backend=self.conv_backend, dtype=self.dtype, name="backbone",
             )
         elif self.backbone == "tiny_cnn":
             net = TinyVideoCNN(dtype=self.dtype, name="backbone")
@@ -412,5 +476,6 @@ def build_video_encoder(config, dtype=None):
         flash_block_q=int(getattr(m, "flash_block_q", 512)),
         flash_block_k=int(getattr(m, "flash_block_k", 512)),
         use_final_norm=bool(getattr(m, "video_use_final_norm", True)),
+        conv_backend=str(getattr(m, "conv_backend", "xla")),
         dtype=dtype,
     )
