@@ -76,8 +76,14 @@ def bench_kernel(N, S, C, residual, iters=20):
             c, wb, scale, bias, residual=res(c), relu=True, interpret=False
         )
     )
+    pls_col = mk(
+        lambda c: conv3x3_bn_act(
+            c, wb, scale, bias, residual=res(c), relu=True, interpret=False,
+            im2col=True,
+        )
+    )
 
-    for name, fn in [("xla", xla), ("pallas", pls)]:
+    for name, fn in [("xla", xla), ("pallas", pls), ("pls-col", pls_col)]:
         dt = _time_chained(fn, [x], iters)
         tf = flops / dt / 1e12
         log(

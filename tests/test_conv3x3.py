@@ -21,10 +21,11 @@ def _case(n, s, cin, cout, seed=0, dtype=jnp.float32):
     return x, k, scale, bias
 
 
+@pytest.mark.parametrize("im2col", [False, True])
 @pytest.mark.parametrize("s,n", [(14, 4), (7, 16), (14, 8)])
-def test_matches_xla(s, n):
+def test_matches_xla(s, n, im2col):
     x, k, scale, bias = _case(n, s, 128, 128)
-    got = conv3x3_bn_act(x, k, scale, bias, force_pallas=True)
+    got = conv3x3_bn_act(x, k, scale, bias, force_pallas=True, im2col=im2col)
     want = _xla_reference(x, k, scale, bias, None, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 

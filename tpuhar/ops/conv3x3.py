@@ -1,14 +1,12 @@
 """Pallas fused 3×3 SAME conv for small square feature planes (TPUVideoCNN stages).
 
-Motivation (docs/BENCHMARKS.md roofline): the flagship TPUVideoCNN serving step runs
-at ~69% of its structural floor, and the gap is XLA's conv utilization at 14²/7²
-spatial — the two residual stages carry ~82% of the tower FLOPs.  This kernel
+Motivation (docs/BENCHMARKS.md roofline): the flagship TPUVideoCNN serving step's
+residual stages carry ~82% of the tower FLOPs at 14²/7² spatial.  This kernel
 computes ``relu(conv3x3(x) · scale + bias [+ residual])`` as one Pallas program so
 the MXU sees plain dense GEMMs and the BN/ReLU/residual epilogue never round-trips
 through HBM.
 
-Formulation — *masked shifted matmuls over flattened planes* (no im2col, no padded
-compute):
+Formulation — *masked shifted matmuls over flattened planes* (no padded compute):
 
 - Input ``(N, S, S, C)`` is viewed as rows ``(M, C)`` with ``M = N·S·S``; row ``r``
   maps to frame ``r // S²``, ``y = (r // S) % S``, ``x = r % S``.
@@ -22,12 +20,17 @@ compute):
   the 16×16-padded-plane alternative: 256/196 = 1.31× garbage compute).
 - The grid blocks M; each step reads its ``(BM, C)`` block plus 16-row halos from the
   neighbour blocks (three BlockSpecs over the same array, clamped at the ends —
-  out-of-range halo rows are masked, so clamping is safe).  Weights ``(9, C, C_out)``
+  out-of-range halo rows are masked, so clamping is safe).  Weights ``(9C, C_out)``
   stay resident in VMEM across the whole grid.
+- ``im2col=True`` materializes the ``(BM, 9C)`` block in VMEM scratch and issues one
+  K=9C GEMM instead of nine accumulate-chained dots.
 
-The epilogue applies the *folded* BatchNorm affine in f32 (``scale = γ/√(σ²+ε)``,
-``bias = β − μ·scale``), the optional residual add, and ReLU, then casts once to the
-output dtype — serving-path only (training keeps XLA convs + live batch stats).
+Measured head-to-head at the flagship shapes (scripts/perf_conv3x3.py, v5e):
+XLA's conv emitter runs at 76.5% (s0: 4096×14²×256) / 89.1% (s1: 4096×7²×512) of
+bf16 peak, the 9-dot Pallas variant at 49.5% / 68.7% — the sublane-unaligned shift
+copies dominate.  **XLA wins at these shapes**; the kernel stays available
+(``model.conv_backend="pallas"``) but off by default, mirroring the flash-attention
+finding (docs/BENCHMARKS.md).
 
 No reference counterpart: the reference (torch/CUDA) leaves convs to cuDNN; this is
 the TPU-native equivalent of a hand-fused inference conv kernel.
@@ -45,12 +48,19 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 16  # ≥ S+1 for every supported plane size (S ≤ 15); sublane-aligned for bf16
 
 
-def _kernel(x_prev, x_cur, x_next, w_ref, scale_ref, bias_ref, *rest, S, BM, relu):
-    if len(rest) == 2:
-        res_ref, out_ref = rest
+def _kernel(*refs, S, BM, relu, has_res, im2col):
+    if has_res:
+        x_prev, x_cur, x_next, w_ref, scale_ref, bias_ref, res_ref = refs[:7]
+        rest = refs[7:]
+    else:
+        x_prev, x_cur, x_next, w_ref, scale_ref, bias_ref = refs[:6]
+        res_ref = None
+        rest = refs[6:]
+    if im2col:
+        out_ref, col_ref = rest
     else:
         (out_ref,) = rest
-        res_ref = None
+        col_ref = None
 
     i = pl.program_id(0)
     # (BM + 2·HALO, C) extended block: tap offsets span [-(S+1), S+1] ⊂ [-HALO, HALO)
@@ -64,21 +74,37 @@ def _kernel(x_prev, x_cur, x_next, w_ref, scale_ref, bias_ref, *rest, S, BM, rel
     xx = rem % S
 
     cout = out_ref.shape[-1]
-    acc = jnp.zeros((BM, cout), jnp.float32)
-    for ty in range(3):
-        for tx in range(3):
-            off = (ty - 1) * S + (tx - 1)
-            src = ext[HALO + off : HALO + off + BM, :]
-            valid = (
-                (yy + (ty - 1) >= 0)
-                & (yy + (ty - 1) < S)
-                & (xx + (tx - 1) >= 0)
-                & (xx + (tx - 1) < S)
-            )
-            src = src * valid.astype(src.dtype)
-            acc = acc + jnp.dot(
-                src, w_ref[3 * ty + tx], preferred_element_type=jnp.float32
-            )
+    C = x_cur.shape[-1]
+
+    def tap(ty, tx):
+        off = (ty - 1) * S + (tx - 1)
+        src = ext[HALO + off : HALO + off + BM, :]
+        valid = (
+            (yy + (ty - 1) >= 0)
+            & (yy + (ty - 1) < S)
+            & (xx + (tx - 1) >= 0)
+            & (xx + (tx - 1) < S)
+        )
+        return src * valid.astype(src.dtype)
+
+    if im2col:
+        # (BM, 9C) im2col block in VMEM scratch → one dense K=9C GEMM instead of
+        # nine accumulate-chained dots.
+        for ty in range(3):
+            for tx in range(3):
+                t = 3 * ty + tx
+                col_ref[:, t * C : (t + 1) * C] = tap(ty, tx)
+        acc = jnp.dot(col_ref[:, :], w_ref[:, :], preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((BM, cout), jnp.float32)
+        for ty in range(3):
+            for tx in range(3):
+                t = 3 * ty + tx
+                acc = acc + jnp.dot(
+                    tap(ty, tx),
+                    w_ref[t * C : (t + 1) * C, :],
+                    preferred_element_type=jnp.float32,
+                )
 
     y = acc * scale_ref[0] + bias_ref[0]
     if res_ref is not None:
@@ -122,6 +148,7 @@ def conv3x3_bn_act(
     residual: Optional[jax.Array] = None,
     relu: bool = True,
     block_m: Optional[int] = None,
+    im2col: bool = False,
     interpret: Optional[bool] = None,
     force_pallas: bool = False,
 ) -> jax.Array:
@@ -134,6 +161,7 @@ def conv3x3_bn_act(
       residual: optional ``(N, S, S, C_out)`` added before the activation.
       relu: apply ReLU at the end.
       block_m: rows per grid step (must divide ``N·S·S``); auto-picked if None.
+      im2col: single K=9C GEMM from a VMEM im2col scratch instead of 9 chained dots.
       interpret: run the Pallas interpreter (defaults to True off-TPU so tests/init
         exercise the same code path on CPU).
       force_pallas: raise instead of falling back to XLA when shapes don't fit
@@ -166,7 +194,7 @@ def conv3x3_bn_act(
         interpret = jax.default_backend() != "tpu"
 
     xf = x.reshape(M, C)
-    w = kernel.reshape(9, C, cout).astype(x.dtype)
+    w = kernel.reshape(9 * C, cout).astype(x.dtype)
     scale2 = scale.reshape(1, cout).astype(jnp.float32)
     bias2 = bias.reshape(1, cout).astype(jnp.float32)
     nm = M // bm
@@ -174,7 +202,7 @@ def conv3x3_bn_act(
     x_spec_prev = pl.BlockSpec((bm, C), lambda i: (jnp.maximum(i - 1, 0), 0))
     x_spec_cur = pl.BlockSpec((bm, C), lambda i: (i, 0))
     x_spec_next = pl.BlockSpec((bm, C), lambda i: (jnp.minimum(i + 1, nm - 1), 0))
-    w_spec = pl.BlockSpec((9, C, cout), lambda i: (0, 0, 0))
+    w_spec = pl.BlockSpec((9 * C, cout), lambda i: (0, 0))
     vec_spec = pl.BlockSpec((1, cout), lambda i: (0, 0))
     io_spec = pl.BlockSpec((bm, cout), lambda i: (i, 0))
 
@@ -184,13 +212,18 @@ def conv3x3_bn_act(
         in_specs.append(io_spec)
         args.append(residual.reshape(M, cout))
 
+    scratch = [pltpu.VMEM((bm, 9 * C), x.dtype)] if im2col else []
     flops = 2 * M * 9 * C * cout
     out = pl.pallas_call(
-        functools.partial(_kernel, S=S, BM=bm, relu=relu),
+        functools.partial(
+            _kernel, S=S, BM=bm, relu=relu,
+            has_res=residual is not None, im2col=im2col,
+        ),
         grid=(nm,),
         in_specs=in_specs,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct((M, cout), x.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=3 * M * C * x.dtype.itemsize + M * cout * x.dtype.itemsize,
