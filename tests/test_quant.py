@@ -107,3 +107,32 @@ def test_quantized_resnet18_small_drift(rng):
     # rankings should broadly agree
     corr = np.corrcoef(q_out.ravel(), f32_out.ravel())[0, 1]
     assert corr > 0.98
+
+
+def test_quantized_tpucnn_small_drift(rng):
+    """Calibrate + quantize a random TPUVideoCNN; int8 features track f32."""
+    from tpuhar.models.video import TPUVideoCNN
+    from tpuhar.ops.quant import (
+        calibrate_tpucnn,
+        quant_tpucnn_forward,
+        quantize_tpucnn,
+    )
+
+    net = TPUVideoCNN(widths=(32, 64), patch=8)
+    frames = rng.normal(0, 1.0, size=(4, 64, 64, 3)).astype(np.float32)
+    variables = net.init(KEY, jnp.asarray(frames), train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    f32_out = np.asarray(net.apply(variables, jnp.asarray(frames), train=False))
+
+    stats = calibrate_tpucnn(params, bs, frames)
+    assert "stem" in stats and "s1b0.mid" in stats and "down1.in" in stats
+    q = quantize_tpucnn(params, bs, stats)
+    q_out = np.asarray(quant_tpucnn_forward(q, jnp.asarray(frames)))
+
+    assert q_out.shape == f32_out.shape
+    denom = np.abs(f32_out).mean() + 1e-8
+    rel = np.abs(q_out - f32_out).mean() / denom
+    assert rel < 0.15, f"quantization drift {rel:.3f}"
+    corr = np.corrcoef(q_out.ravel(), f32_out.ravel())[0, 1]
+    assert corr > 0.98

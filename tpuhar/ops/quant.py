@@ -206,3 +206,126 @@ def quant_resnet18_forward(q: Dict, frames: jax.Array) -> jax.Array:
                 )
             x = nn.relu(h + res)
     return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------------
+# Quantized TPUVideoCNN backbone (the flagship serving tower)
+# ---------------------------------------------------------------------------------
+def _tpucnn_layout(params) -> Tuple[int, int]:
+    """Infer (num_stages, blocks_per_stage) from a TPUVideoCNN param tree."""
+    stages = 1
+    while f"down{stages}_conv" in params:
+        stages += 1
+    blocks = 0
+    while f"s0b{blocks}a_conv" in params:
+        blocks += 1
+    return stages, blocks
+
+
+def calibrate_tpucnn(params, batch_stats, frames) -> Dict[str, float]:
+    """Per-site absmax over calibration frames for the TPUVideoCNN forward.
+
+    Mirrors ``models/video.TPUVideoCNN.__call__`` (eval mode) layer by layer; sites
+    are conv inputs (post previous ReLU).  ``frames`` are normalized f32 — or raw
+    0..255 pixels when the normalize fold (ops/fold.py) was applied to ``params``
+    first; the calibration simply observes whatever distribution serving will see.
+    """
+    stats: Dict[str, float] = {}
+    p, bs = params, batch_stats
+    stages, blocks = _tpucnn_layout(p)
+    patch = p["stem_conv"]["kernel"].shape[0]
+
+    x = jnp.asarray(frames)
+    _observed(stats, "stem", x)
+    x = _conv_bn_relu(
+        x, p["stem_conv"], p["stem_bn"], bs["stem_bn"],
+        strides=(patch, patch), pad="VALID",
+    )
+    for si in range(stages):
+        if si > 0:
+            _observed(stats, f"down{si}.in", x)
+            x = _conv_bn_relu(
+                x, p[f"down{si}_conv"], p[f"down{si}_bn"], bs[f"down{si}_bn"],
+                strides=(2, 2), pad="SAME",
+            )
+        for bi in range(blocks):
+            name = f"s{si}b{bi}"
+            _observed(stats, f"{name}.in", x)
+            h = _conv_bn_relu(
+                x, p[f"{name}a_conv"], p[f"{name}a_bn"], bs[f"{name}a_bn"],
+                strides=(1, 1), pad="SAME",
+            )
+            _observed(stats, f"{name}.mid", h)
+            h = _conv_bn(
+                h, p[f"{name}b_conv"], p[f"{name}b_bn"], bs[f"{name}b_bn"],
+                strides=(1, 1), pad="SAME",
+            )
+            x = nn.relu(h + x)
+    return stats
+
+
+def quantize_tpucnn(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
+    """Fold BN + per-channel int8 quantize every TPUVideoCNN conv."""
+
+    def site_scale(name):
+        return jnp.float32(max(act_stats.get(name, 1.0), 1e-6) / 127.0)
+
+    stages, blocks = _tpucnn_layout(params)
+
+    def pack(prefix):
+        kernel, bias = fold_bn(
+            params[f"{prefix}_conv"]["kernel"],
+            params[f"{prefix}_bn"]["scale"],
+            params[f"{prefix}_bn"]["bias"],
+            batch_stats[f"{prefix}_bn"]["mean"],
+            batch_stats[f"{prefix}_bn"]["var"],
+        )
+        w_q, w_s = quantize_weights(kernel, axis=-1)
+        return {"w_q": w_q, "w_scale": w_s.reshape(-1), "bias": bias}
+
+    q: Dict = {
+        "act_scales": {k: site_scale(k) for k in act_stats},
+        "layout": (stages, blocks),
+        "patch": int(params["stem_conv"]["kernel"].shape[0]),
+        "stem": pack("stem"),
+    }
+    for si in range(stages):
+        if si > 0:
+            q[f"down{si}"] = pack(f"down{si}")
+        for bi in range(blocks):
+            name = f"s{si}b{bi}"
+            q[name] = {"a": pack(f"{name}a"), "b": pack(f"{name}b")}
+    return q
+
+
+def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
+    """int8 TPUVideoCNN feature extractor: frames (B,H,W,3) f32 → (B, widths[-1]) f32."""
+    scales = q["act_scales"]
+    stages, blocks = q["layout"]
+    patch = q["patch"]
+
+    def qconv(x, packed, site, *, strides, pad, relu):
+        xs = scales[site]
+        x_q = quantize_activations(x, xs)
+        y = int8_conv(
+            x_q, packed["w_q"], xs, packed["w_scale"], strides=strides, padding=pad
+        ) + packed["bias"]
+        return nn.relu(y) if relu else y
+
+    x = qconv(frames, q["stem"], "stem", strides=(patch, patch), pad="VALID", relu=True)
+    for si in range(stages):
+        if si > 0:
+            x = qconv(
+                x, q[f"down{si}"], f"down{si}.in", strides=(2, 2), pad="SAME",
+                relu=True,
+            )
+        for bi in range(blocks):
+            name = f"s{si}b{bi}"
+            h = qconv(
+                x, q[name]["a"], f"{name}.in", strides=(1, 1), pad="SAME", relu=True
+            )
+            h = qconv(
+                h, q[name]["b"], f"{name}.mid", strides=(1, 1), pad="SAME", relu=False
+            )
+            x = nn.relu(h + x)
+    return jnp.mean(x, axis=(1, 2))

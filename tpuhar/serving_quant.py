@@ -19,18 +19,37 @@ import numpy as np
 from .models.crossmodal import FusionClassifier
 from .ood import energy_score, msp_score
 from .ops.featurize import featurize_windows
-from .ops.quant import calibrate_resnet18, quant_resnet18_forward, quantize_resnet18
+from .ops.quant import (
+    calibrate_resnet18,
+    calibrate_tpucnn,
+    quant_resnet18_forward,
+    quant_tpucnn_forward,
+    quantize_resnet18,
+    quantize_tpucnn,
+)
 from .ops.video import normalize_clip
+
+# backbone → (calibrate, quantize, forward) triples for the int8 PTQ path
+_QUANT_BACKBONES = {
+    "resnet18": (calibrate_resnet18, quantize_resnet18, quant_resnet18_forward),
+    "tpu_cnn": (calibrate_tpucnn, quantize_tpucnn, quant_tpucnn_forward),
+    "tpu_cnn_large": (calibrate_tpucnn, quantize_tpucnn, quant_tpucnn_forward),
+}
 
 
 def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
     """Returns ``fn(imu_raw, video_u8) -> {logits, msp, energy, embeddings}``.
 
-    ``variables`` is a FusionClassifier variables tree with a resnet18 video backbone;
-    ``calib_clips_u8`` is ``(Ncal, T, H, W, 3)`` uint8 used for activation calibration.
+    ``variables`` is a FusionClassifier variables tree with a resnet18 or tpu_cnn
+    video backbone; ``calib_clips_u8`` is ``(Ncal, T, H, W, 3)`` uint8 used for
+    activation calibration.
     """
-    if cfg.model.video_backbone != "resnet18":
-        raise ValueError("quantized path currently supports the resnet18 tower")
+    if cfg.model.video_backbone not in _QUANT_BACKBONES:
+        raise ValueError(
+            "quantized path supports backbones "
+            f"{sorted(_QUANT_BACKBONES)}, got {cfg.model.video_backbone!r}"
+        )
+    calibrate, quantize, quant_forward = _QUANT_BACKBONES[cfg.model.video_backbone]
     model = FusionClassifier(cfg)
     d = cfg.data
 
@@ -51,8 +70,8 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
         frames = np.asarray(
             jax.jit(normalize_clip)(calib_clips_u8)
         ).reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))
-        act_stats = calibrate_resnet18(bb_params, bb_stats, frames[:64])
-        q = jax.device_get(quantize_resnet18(bb_params, bb_stats, act_stats))
+        act_stats = calibrate(bb_params, bb_stats, frames[:64])
+        q = jax.device_get(quantize(bb_params, bb_stats, act_stats))
 
     def forward(imu_raw, video_u8):
         B, T = video_u8.shape[0], video_u8.shape[1]
@@ -61,7 +80,7 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
         )
         video = normalize_clip(video_u8)
         frames = video.reshape((B * T,) + video.shape[2:])
-        feats = quant_resnet18_forward(q, frames)  # (B*T, 512) f32
+        feats = quant_forward(q, frames)  # (B*T, feat_dim) f32
         feats = feats.reshape(B, T, -1)
         tokens = feats @ proj["kernel"] + proj["bias"]  # (B, T, video_d_model)
         logits, fused = model.apply(
