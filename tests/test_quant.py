@@ -136,3 +136,34 @@ def test_quantized_tpucnn_small_drift(rng):
     assert rel < 0.15, f"quantization drift {rel:.3f}"
     corr = np.corrcoef(q_out.ravel(), f32_out.ravel())[0, 1]
     assert corr > 0.98
+
+
+def test_tpucnn_input_fold_matches_normalized(rng):
+    """input_fold (raw u8 → stem) ≈ normalize_clip + calibrated-quantize path."""
+    from tpuhar.models.video import TPUVideoCNN
+    from tpuhar.ops.quant import (
+        calibrate_tpucnn,
+        quant_tpucnn_forward,
+        quantize_tpucnn,
+    )
+    from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
+
+    net = TPUVideoCNN(widths=(32, 64), patch=8)
+    u8 = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    normalized = np.asarray(normalize_clip(jnp.asarray(u8)[None])[0])
+    variables = net.init(KEY, jnp.asarray(normalized), train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    stats = calibrate_tpucnn(params, bs, normalized)
+    q_plain = quantize_tpucnn(params, bs, stats)
+    q_fold = quantize_tpucnn(
+        params, bs, stats, input_fold=(IMAGENET_MEAN, IMAGENET_STD)
+    )
+    out_plain = np.asarray(quant_tpucnn_forward(q_plain, jnp.asarray(normalized)))
+    out_fold = np.asarray(quant_tpucnn_forward(q_fold, jnp.asarray(u8)))
+
+    denom = np.abs(out_plain).mean() + 1e-8
+    rel = np.abs(out_fold - out_plain).mean() / denom
+    assert rel < 0.1, f"input-fold drift {rel:.3f}"
+    corr = np.corrcoef(out_fold.ravel(), out_plain.ravel())[0, 1]
+    assert corr > 0.99

@@ -264,8 +264,21 @@ def calibrate_tpucnn(params, batch_stats, frames) -> Dict[str, float]:
     return stats
 
 
-def quantize_tpucnn(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
-    """Fold BN + per-channel int8 quantize every TPUVideoCNN conv."""
+def quantize_tpucnn(
+    params, batch_stats, act_stats: Dict[str, float], *, input_fold=None
+) -> Dict:
+    """Fold BN + per-channel int8 quantize every TPUVideoCNN conv.
+
+    ``input_fold=(mean, std)`` additionally folds the ImageNet normalization INTO the
+    stem so the quantized forward consumes RAW uint8 pixels with the exact int8 map
+    ``x_q = u8 − 128`` (no f32 normalize pass, no calibrated input quantize):
+    ``normalized = (u8/255 − m)/s = (u8−128)·a + c`` with ``a_c = 1/(255·s_c)`` and
+    ``c_c = (128/255 − m_c)/s_c``; ``a`` scales the stem kernel's input-channel dim
+    and ``c`` lands in the stem bias — exact because the stem is a VALID-padding
+    patch embed where every output position sees a full input window (same condition
+    as ops/fold.py).  The only approximation is ``u8 == 0 → −128`` clipped to −127,
+    a one-LSB error on pure-black pixels.
+    """
 
     def site_scale(name):
         return jnp.float32(max(act_stats.get(name, 1.0), 1e-6) / 127.0)
@@ -280,6 +293,14 @@ def quantize_tpucnn(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
             batch_stats[f"{prefix}_bn"]["mean"],
             batch_stats[f"{prefix}_bn"]["var"],
         )
+        if prefix == "stem" and input_fold is not None:
+            mean, std = (jnp.asarray(v, jnp.float32) for v in input_fold)
+            a = 1.0 / (255.0 * std)  # (3,)
+            c = (128.0 / 255.0 - mean) / std
+            # bias gets the constant-offset contribution BEFORE the kernel rescale
+            taps_summed = kernel.reshape(-1, kernel.shape[-2], kernel.shape[-1]).sum(0)
+            bias = bias + c @ taps_summed
+            kernel = kernel * a[:, None]
         w_q, w_s = quantize_weights(kernel, axis=-1)
         return {"w_q": w_q, "w_scale": w_s.reshape(-1), "bias": bias}
 
@@ -287,6 +308,7 @@ def quantize_tpucnn(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
         "act_scales": {k: site_scale(k) for k in act_stats},
         "layout": (stages, blocks),
         "patch": int(params["stem_conv"]["kernel"].shape[0]),
+        "input_fold": input_fold is not None,
         "stem": pack("stem"),
     }
     for si in range(stages):
@@ -299,7 +321,11 @@ def quantize_tpucnn(params, batch_stats, act_stats: Dict[str, float]) -> Dict:
 
 
 def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
-    """int8 TPUVideoCNN feature extractor: frames (B,H,W,3) f32 → (B, widths[-1]) f32."""
+    """int8 TPUVideoCNN feature extractor → (B, widths[-1]) f32 features.
+
+    ``frames`` is (B,H,W,3): normalized f32, or RAW uint8 when the tree was built
+    with ``input_fold`` (the stem then consumes ``u8 − 128`` int8 directly).
+    """
     scales = q["act_scales"]
     stages, blocks = q["layout"]
     patch = q["patch"]
@@ -312,7 +338,19 @@ def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
         ) + packed["bias"]
         return nn.relu(y) if relu else y
 
-    x = qconv(frames, q["stem"], "stem", strides=(patch, patch), pad="VALID", relu=True)
+    if q.get("input_fold"):
+        x_q = jnp.clip(frames.astype(jnp.int16) - 128, -127, 127).astype(jnp.int8)
+        x = nn.relu(
+            int8_conv(
+                x_q, q["stem"]["w_q"], jnp.float32(1.0), q["stem"]["w_scale"],
+                strides=(patch, patch), padding="VALID",
+            )
+            + q["stem"]["bias"]
+        )
+    else:
+        x = qconv(
+            frames, q["stem"], "stem", strides=(patch, patch), pad="VALID", relu=True
+        )
     for si in range(stages):
         if si > 0:
             x = qconv(

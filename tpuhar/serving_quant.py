@@ -66,20 +66,36 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
         calib_device = jax.devices("cpu")[0]
     except RuntimeError:
         calib_device = jax.devices()[0]
+    # tpu_cnn's VALID patch-embed stem admits the exact uint8 input fold (the int8
+    # analogue of ops/fold.py): no f32 normalize pass, stem consumes u8−128 directly.
+    input_fold = cfg.model.video_backbone.startswith("tpu_cnn")
     with jax.default_device(calib_device):
         frames = np.asarray(
             jax.jit(normalize_clip)(calib_clips_u8)
         ).reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))
         act_stats = calibrate(bb_params, bb_stats, frames[:64])
-        q = jax.device_get(quantize(bb_params, bb_stats, act_stats))
+        if input_fold:
+            from .ops.video import IMAGENET_MEAN, IMAGENET_STD
+
+            q = jax.device_get(
+                quantize(
+                    bb_params, bb_stats, act_stats,
+                    input_fold=(IMAGENET_MEAN, IMAGENET_STD),
+                )
+            )
+        else:
+            q = jax.device_get(quantize(bb_params, bb_stats, act_stats))
 
     def forward(imu_raw, video_u8):
         B, T = video_u8.shape[0], video_u8.shape[1]
         imu = featurize_windows(
             imu_raw, kernel_size=d.median_filter_kernel, racc=d.Racc, rgyro=d.Rgyro
         )
-        video = normalize_clip(video_u8)
-        frames = video.reshape((B * T,) + video.shape[2:])
+        if input_fold:
+            frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+        else:
+            video = normalize_clip(video_u8)
+            frames = video.reshape((B * T,) + video.shape[2:])
         feats = quant_forward(q, frames)  # (B*T, feat_dim) f32
         feats = feats.reshape(B, T, -1)
         tokens = feats @ proj["kernel"] + proj["bias"]  # (B, T, video_d_model)
