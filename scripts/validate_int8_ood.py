@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""int8 OOD-AUROC parity: score trained LOO fusion checkpoints via f32 vs int8 towers.
+
+The north star is throughput *at OOD-AUROC parity* (BASELINE.md).  The int8 PTQ
+flagship measures 10,499 inf/s (docs/BENCHMARKS.md); its accuracy evidence so far is
+drift bounds on random nets.  This script closes the loop on TRAINED models: for each
+leave-one-activity-out checkpoint produced by ``scripts/bench_accuracy.py``
+(``outputs/bench_accuracy/tpu_cnn/checkpoints/ood_loo_{c}``), it scores the id/ood
+test windows through
+
+  - the f32 path (``FusionClassifier.apply`` on normalized clips — the Evaluator's
+    exact semantics), and
+  - the int8 path (``quantize_tpucnn(input_fold=...)`` tower on raw uint8 frames +
+    ``fuse_with_tokens`` — the quantized serving program's exact semantics),
+
+fits Mahalanobis per path on that path's own id-train embeddings (the
+deployment-consistent protocol), and reports AUROC/FPR95 side by side.
+
+Runs fine on CPU (default when the TPU is busy): ~15-30 min/class.
+
+Usage: python scripts/validate_int8_ood.py [--classes 0,2,4] [--tower tpu_cnn] [--tpu]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--classes", default="0,2,4")
+    p.add_argument("--tower", default="tpu_cnn")
+    p.add_argument("--root", default="outputs/bench_accuracy")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--tpu", action="store_true", help="run on the TPU (default CPU)")
+    p.add_argument("--out", default="outputs/bench_accuracy/int8_ood_parity.json")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import pandas as pd
+
+    log(f"devices: {jax.devices()}")
+
+    from tpuhar.data.loader import BatchLoader
+    from tpuhar.data.synthetic import make_synthetic_config
+    from tpuhar.models.crossmodal import FusionClassifier
+    from tpuhar.ood import (
+        MahalanobisScorer,
+        compute_ood_scores,
+        fpr_at_tpr,
+        leave_one_out_split,
+    )
+    from tpuhar.eval.metrics import auroc
+    from tpuhar.ops.quant import (
+        calibrate_tpucnn,
+        quant_tpucnn_forward,
+        quantize_tpucnn,
+    )
+    from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
+    from tpuhar.train import checkpoint as ckpt
+    from tpuhar.train.factory import build_fusion_task
+
+    root = Path(args.root)
+    # identical config construction to scripts/bench_accuracy.py
+    cfg = make_synthetic_config(
+        root / "fixture", root / args.tower,
+        num_classes=6, video_backbone=args.tower,
+        video_resize=(224, 224), train_epochs=4, train_batch_size=args.batch,
+    )
+    cfg.data.video_frames_per_window = 16
+    cfg.data.featurize_backend = "host"
+    cfg.paths.preprocessed_dir = root / "preprocessed"
+
+    dfs = {
+        split: pd.read_csv(root / "preprocessed" / f"{split}_metadata.csv")
+        for split in ("train", "val", "test")
+    }
+
+    model = None
+    results = []
+    for c in [int(x) for x in args.classes.split(",")]:
+        t0 = time.perf_counter()
+        id_train, _, remap = leave_one_out_split(dfs["train"], c)
+        id_test, ood_test, _ = leave_one_out_split(dfs["test"], c, remap=remap)
+
+        import copy
+
+        loo_cfg = copy.deepcopy(cfg)
+        loo_cfg.model.num_classes = len(remap)
+        model = FusionClassifier(loo_cfg)
+
+        # restore the trained LOO checkpoint into a fresh state template
+        with jax.default_device(jax.devices("cpu")[0]):
+            task = build_fusion_task(
+                loo_cfg, 1, jax.random.PRNGKey(0), batch_size=args.batch
+            )
+        state, _ = ckpt.restore_checkpoint(
+            root / args.tower / "checkpoints" / f"ood_loo_{c}" / "best_model",
+            task.state,
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        # build the int8 tower from the SAME checkpoint (calibrate on id-train clips)
+        venc = variables["params"]["video_encoder"]
+        vstats = variables["batch_stats"]["video_encoder"]
+        calib_loader = BatchLoader(
+            id_train.head(args.batch), loo_cfg, mode="fusion",
+            batch_size=min(8, args.batch), prefetch=0,
+        )
+        calib_u8 = next(iter(calib_loader))["video"]
+        with jax.default_device(jax.devices("cpu")[0]):
+            calib_frames = np.asarray(
+                jax.jit(normalize_clip)(calib_u8)
+            ).reshape((-1,) + calib_u8.shape[2:4] + (3,))
+            act_stats = calibrate_tpucnn(
+                venc["backbone"], vstats["backbone"], calib_frames[:64]
+            )
+            q = jax.device_get(
+                quantize_tpucnn(
+                    venc["backbone"], vstats["backbone"], act_stats,
+                    input_fold=(IMAGENET_MEAN, IMAGENET_STD),
+                )
+            )
+        proj = venc["projection"]
+
+        @jax.jit
+        def f32_path(imu, video_u8):
+            return model.apply(
+                variables, imu, normalize_clip(video_u8), train=False
+            )
+
+        @jax.jit
+        def int8_path(imu, video_u8):
+            B, T = video_u8.shape[0], video_u8.shape[1]
+            frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+            feats = quant_tpucnn_forward(q, frames).reshape(B, T, -1)
+            tokens = feats @ proj["kernel"] + proj["bias"]
+            return model.apply(
+                variables, imu, tokens, train=False,
+                method=FusionClassifier.fuse_with_tokens,
+            )
+
+        def score_split(df, fn):
+            logits, embs = [], []
+            loader = BatchLoader(
+                df, loo_cfg, mode="fusion", batch_size=args.batch, prefetch=0
+            )
+            for b in loader:
+                lg, em = fn(b["imu"], b["video"])
+                n = int(b["n_valid"]) if "n_valid" in b else len(lg)
+                logits.append(np.asarray(lg)[:n])
+                embs.append(np.asarray(em)[:n])
+            return np.concatenate(logits), np.concatenate(embs)
+
+        row = {"held_out_class": c}
+        for name, fn in (("f32", f32_path), ("int8", int8_path)):
+            tr_lg, tr_em = score_split(id_train, fn)
+            id_lg, id_em = score_split(id_test, fn)
+            ood_lg, ood_em = score_split(ood_test, fn)
+            # leave_one_out_split already remapped the label column
+            tr_labels = np.asarray(id_train["label"], np.int32)
+            maha = MahalanobisScorer.fit(tr_em, tr_labels, len(remap))
+            id_s = compute_ood_scores(
+                id_lg, id_em, mahalanobis=maha,
+                energy_temperature=cfg.ood.energy_temperature,
+            )
+            ood_s = compute_ood_scores(
+                ood_lg, ood_em, mahalanobis=maha,
+                energy_temperature=cfg.ood.energy_temperature,
+            )
+            for s in id_s:
+                joined = np.concatenate([id_s[s], ood_s[s]])
+                is_ood = np.concatenate(
+                    [np.zeros(len(id_s[s])), np.ones(len(ood_s[s]))]
+                )
+                row[f"{name}_auroc_{s}"] = round(float(auroc(joined, is_ood)), 4)
+                row[f"{name}_fpr95_{s}"] = round(float(fpr_at_tpr(joined, is_ood)), 4)
+            row[f"{name}_id_acc"] = round(
+                float(
+                    (np.argmax(id_lg, 1) == np.asarray(id_test["label"])).mean()
+                    * 100
+                ),
+                2,
+            )
+        results.append(row)
+        log(f"[class {c}] ({time.perf_counter() - t0:.0f}s) " + json.dumps(row))
+        Path(args.out).write_text(json.dumps(results, indent=2))
+
+    # summary deltas
+    for s in ("msp", "energy", "mahalanobis"):
+        d = [r[f"int8_auroc_{s}"] - r[f"f32_auroc_{s}"] for r in results]
+        log(f"AUROC delta int8-f32 [{s}]: mean {np.mean(d):+.4f} max |{np.max(np.abs(d)):.4f}|")
+
+
+if __name__ == "__main__":
+    main()
