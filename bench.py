@@ -140,6 +140,53 @@ def main():
         f"p50 window latency={p50_window_ms}ms  sweep={latency_sweep_ms}"
     )
 
+    # int8 PTQ serving option (tpu_cnn towers): same chained-loop measurement through
+    # serving_quant's program. Best-effort — the bf16 headline above never depends on
+    # this succeeding. (docs/BENCHMARKS.md: 10,499 inf/s = 210%; Mahalanobis-AUROC
+    # parity validated on trained checkpoints, scripts/validate_int8_ood.py.)
+    int8_extras = {}
+    if platform != "cpu" and cfg.model.video_backbone.startswith("tpu_cnn"):
+        try:
+            from tpuhar.serving_quant import build_quantized_forward
+
+            log("building int8 quantized forward (calibration on CPU)...")
+            qfn = build_quantized_forward(
+                cfg, fn._variables_prefold, np.asarray(video[:2])
+            )
+
+            @partial(jax.jit, static_argnames=("iters",))
+            def chained_q(imu, video, iters: int):
+                def body(i, carry):
+                    cur_imu, acc = carry
+                    v = jnp.roll(video, i, axis=0)
+                    out = qfn(cur_imu, v)
+                    delta = jnp.sum(out["logits"]) * 1e-12
+                    return cur_imu + delta, acc + delta
+
+                _, acc = jax.lax.fori_loop(0, iters, body, (imu, jnp.float32(0)))
+                return acc
+
+            def run_q(k):
+                t0 = time.perf_counter()
+                _ = float(np.asarray(chained_q(imu, video, k)))
+                return time.perf_counter() - t0
+
+            run_q(1); run_q(iters)
+            t1q = min(run_q(1) for _ in range(2))
+            tkq = min(run_q(iters) for _ in range(2))
+            step_q = (tkq - t1q) / (iters - 1)
+            int8_extras = {
+                "int8_value": round(batch / step_q, 1),
+                "int8_step_ms": round(step_q * 1e3, 3),
+                "int8_vs_baseline": round(batch / step_q / 5000.0, 4),
+            }
+            log(
+                f"int8 throughput={batch / step_q:.0f} inf/s/chip  "
+                f"step={step_q * 1e3:.2f}ms  ({step_ms / (step_q * 1e3):.2f}x bf16)"
+            )
+        except Exception as e:  # noqa: BLE001 — headline must survive int8 issues
+            log(f"int8 path skipped: {type(e).__name__}: {str(e)[:200]}")
+
     print(
         json.dumps(
             {
@@ -154,6 +201,7 @@ def main():
                 "latency_sweep_ms": latency_sweep_ms,
                 "platform": platform,
                 "backbone": cfg.model.video_backbone,
+                **int8_extras,
             }
         )
     )
