@@ -109,3 +109,31 @@ def test_latency_summary(rng):
     s = engine.latency_summary()
     assert s["steps"] == 3
     assert s["p50_ms"] > 0
+
+
+def test_quantized_engine(rng):
+    """InferenceEngine(quantize_calib_clips=...) serves through the int8 tower with
+    the same output contract and logits close to the bf16/f32 engine."""
+    cfg = _cfg()
+    cfg.model.video_backbone = "tpu_cnn"
+    model = FusionClassifier(cfg)
+    imu_z = jnp.zeros((2, 6, 250))
+    video_z = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(KEY, imu_z, video_z)
+
+    imu = rng.normal(0, 8000, size=(5, 250, 6)).astype(np.float32)
+    video = (rng.random((5, 4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    f32_engine = InferenceEngine(cfg, variables, batch_sizes=[8])
+    q_engine = InferenceEngine(
+        cfg, variables, batch_sizes=[8], quantize_calib_clips=video[:2]
+    )
+    assert q_engine.quantized
+
+    out_f = f32_engine.predict(imu, video)
+    out_q = q_engine.predict(imu, video)
+    for k in ("logits", "preds", "msp", "energy", "embeddings"):
+        assert out_q[k].shape == out_f[k].shape
+    assert np.isfinite(out_q["logits"]).all()
+    corr = np.corrcoef(out_q["logits"].ravel(), out_f["logits"].ravel())[0, 1]
+    assert corr > 0.95, f"int8 engine logit corr {corr}"

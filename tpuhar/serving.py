@@ -54,16 +54,48 @@ class InferenceEngine:
         mesh=None,
         mahalanobis: Optional[MahalanobisScorer] = None,
         fold_normalize: bool = True,
+        quantize_calib_clips=None,
     ):
+        """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
+        through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
+        resnet18 backbones; measured 10,499 vs 7,310 inf/s on the flagship,
+        docs/BENCHMARKS.md — Mahalanobis-AUROC parity validated, msp/energy may need
+        threshold recalibration)."""
         self.config = config
         self.imu_only = imu_only
         self.batch_sizes = sorted(batch_sizes or [256])
         self.mesh = mesh
         self.mahalanobis = mahalanobis
         self.profiler = StepProfiler()
+        self.quantized = quantize_calib_clips is not None and not imu_only
 
         model = IMUClassifier(config) if imu_only else FusionClassifier(config)
         d = config.data
+
+        if self.quantized:
+            from .serving_quant import build_quantized_forward
+
+            qforward = build_quantized_forward(
+                config, variables, np.asarray(quantize_calib_clips)
+            )
+            maha = self.mahalanobis
+
+            def forward(imu_raw, video_u8=None):
+                out = qforward(imu_raw, video_u8)
+                out["preds"] = jnp.argmax(out["logits"], axis=-1)
+                if maha is not None:
+                    out["mahalanobis"] = maha.score(out["embeddings"])
+                return out
+
+            self.folded = False
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data_sharding = NamedSharding(mesh, P(config.training.data_axis))
+                self._fn = jax.jit(forward, in_shardings=(data_sharding,) * 2)
+            else:
+                self._fn = jax.jit(forward)
+            return
 
         # Exact serving rewrite (ops/fold.py): consume raw uint8 pixels, with the
         # ImageNet affine folded into the patch-embed stem — one less HBM pass.

@@ -89,7 +89,8 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
     def forward(imu_raw, video_u8):
         B, T = video_u8.shape[0], video_u8.shape[1]
         imu = featurize_windows(
-            imu_raw, kernel_size=d.median_filter_kernel, racc=d.Racc, rgyro=d.Rgyro
+            imu_raw, kernel_size=d.median_filter_kernel,
+            normalize=d.normalize_imu, racc=d.Racc, rgyro=d.Rgyro,
         )
         if input_fold:
             frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
