@@ -46,6 +46,16 @@ def parse_args():
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--resize", type=int, default=224)
     p.add_argument("--seq-len", type=int, default=1500, help="fixture sequence length")
+    p.add_argument(
+        "--difficulty", default="hard", choices=("easy", "hard"),
+        help="fixture difficulty: 'hard' (default) overlaps classes so the "
+        "head-to-head can fail (VERDICT r2); 'easy' reproduces the round-2 "
+        "saturated fixture",
+    )
+    p.add_argument(
+        "--label-noise", type=float, default=0.1,
+        help="fraction of train windows with flipped labels (hard fixture)",
+    )
     p.add_argument("--loo-classes", default="", help="comma list; empty = all")
     p.add_argument("--out", default="outputs/bench_accuracy")
     p.add_argument("--seed", type=int, default=0)
@@ -173,10 +183,15 @@ def main():
     workdir = Path(args.out)
     fixture = workdir / "fixture"
     if not (fixture / "train.txt").exists():
-        log(f"generating fixture: {args.classes} classes × {args.samples} seqs/split")
+        log(
+            f"generating {args.difficulty} fixture: {args.classes} classes × "
+            f"{args.samples} seqs/split, label_noise={args.label_noise}"
+        )
         generate_synthetic_dataset(
             fixture, num_classes=args.classes, samples_per_class=args.samples,
             seq_len=args.seq_len, seed=args.seed,
+            difficulty=args.difficulty,
+            label_noise=args.label_noise if args.difficulty == "hard" else 0.0,
         )
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]

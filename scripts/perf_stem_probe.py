@@ -64,11 +64,18 @@ def main():
         return (x @ w.astype(jnp.bfloat16).reshape(P * P * C, N)).astype(jnp.float32)
 
     def chain(fn):
+        # Loop-dependence rules (without them this probe printed >peak TFLOP/s):
+        #  - the weight input must depend on the accumulator, or XLA hoists the whole
+        #    body out as loop-invariant;
+        #  - the reduction must consume the FULL output — an out[0, :1] epilogue lets
+        #    XLA slice the conv/GEMM down to the one row that feeds it (DCE), timing
+        #    a fraction of the advertised FLOPs. The full-sum epilogue costs one
+        #    extra HBM read of the f32 output, identical across variants.
         @partial(jax.jit, static_argnames=("k",))
         def run(u8, w, k: int):
             def body(i, acc):
                 out = fn(u8, w + acc.astype(w.dtype) * 1e-30)
-                return acc + jnp.sum(out[0, :1]) * 1e-20
+                return acc + jnp.sum(out) * 1e-20
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 

@@ -169,10 +169,25 @@ def main():
             return np.concatenate(logits), np.concatenate(embs)
 
         row = {"held_out_class": c}
+        split_scores = {}
         for name, fn in (("f32", f32_path), ("int8", int8_path)):
             tr_lg, tr_em = score_split(id_train, fn)
             id_lg, id_em = score_split(id_test, fn)
             ood_lg, ood_em = score_split(ood_test, fn)
+            split_scores[name] = (tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em)
+
+        # int8r = the shipped serving semantics (serving_quant recalibration): affine
+        # logit map fitted on the calibration split (id-train), applied to held-out
+        # logits; embeddings (→ Mahalanobis) are untouched.
+        from tpuhar.serving_quant import fit_logit_recalibration
+
+        a, b = fit_logit_recalibration(split_scores["f32"][0], split_scores["int8"][0])
+        tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em = split_scores["int8"]
+        split_scores["int8r"] = (
+            a * tr_lg + b, tr_em, a * id_lg + b, id_em, a * ood_lg + b, ood_em,
+        )
+
+        for name, (tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em) in split_scores.items():
             # leave_one_out_split already remapped the label column
             tr_labels = np.asarray(id_train["label"], np.int32)
             maha = MahalanobisScorer.fit(tr_em, tr_labels, len(remap))
@@ -202,10 +217,14 @@ def main():
         log(f"[class {c}] ({time.perf_counter() - t0:.0f}s) " + json.dumps(row))
         Path(args.out).write_text(json.dumps(results, indent=2))
 
-    # summary deltas
-    for s in ("msp", "energy", "mahalanobis"):
-        d = [r[f"int8_auroc_{s}"] - r[f"f32_auroc_{s}"] for r in results]
-        log(f"AUROC delta int8-f32 [{s}]: mean {np.mean(d):+.4f} max |{np.max(np.abs(d)):.4f}|")
+    # summary deltas (int8 = raw quantized logits; int8r = shipped recalibrated path)
+    for name in ("int8", "int8r"):
+        for s in ("msp", "energy", "mahalanobis"):
+            d = [r[f"{name}_auroc_{s}"] - r[f"f32_auroc_{s}"] for r in results]
+            log(
+                f"AUROC delta {name}-f32 [{s}]: mean {np.mean(d):+.4f} "
+                f"max |{np.max(np.abs(d)):.4f}|"
+            )
 
 
 if __name__ == "__main__":

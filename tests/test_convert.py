@@ -312,3 +312,154 @@ def test_videomae_final_norm_gate(tmp_path):
         task.state.params, task.state.batch_stats, cfg, path=str(path)
     )
     assert _tree_equal(params["video_encoder"]["vit"], converted)
+
+
+# ---------------------------------------------------------------------------------
+# Export round-trip: convert(export(params)) == params, bit-exact (VERDICT r2 #5).
+# Proves both directions of "bring your own checkpoint" without a network: every
+# state dict the converters have seen was synthesized; the round-trip shows the
+# layout math is self-consistent on TRAINED-shaped trees (all leaves randomized,
+# nonzero key bias + drifted position table included).
+# ---------------------------------------------------------------------------------
+def _randomize_leaves(tree, rng):
+    """Random positive values in every leaf (positive keeps BN var valid)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [
+        np.asarray(rng.uniform(0.1, 1.0, size=np.shape(l)), np.float32)
+        for l in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def test_resnet18_export_roundtrip(rng, tmp_path):
+    from tpuhar.models.convert import (
+        export_resnet18_state_dict,
+        load_state_dict,
+        save_state_dict,
+    )
+
+    net = ResNet18()
+    variables = net.init(KEY, jnp.zeros((1, 64, 64, 3)))
+    params = _randomize_leaves(variables["params"], rng)
+    batch_stats = _randomize_leaves(variables["batch_stats"], rng)
+
+    sd = export_resnet18_state_dict(params, batch_stats)
+    p2, bs2 = convert_resnet18_state_dict(sd)
+    assert _tree_equal(params, p2) and _tree_equal(batch_stats, bs2)
+
+    # through disk, both formats
+    for fname in ("rt.npz", "rt.pt"):
+        save_state_dict(sd, tmp_path / fname)
+        p3, bs3 = convert_resnet18_state_dict(load_state_dict(tmp_path / fname))
+        assert _tree_equal(params, p3) and _tree_equal(batch_stats, bs3)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    out_a = net.apply({"params": params, "batch_stats": batch_stats}, x)
+    out_b = net.apply({"params": p2, "batch_stats": bs2}, x)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_mobilenet_v2_export_roundtrip(rng):
+    from tpuhar.models.convert import (
+        convert_mobilenet_v2_state_dict,
+        export_mobilenet_v2_state_dict,
+    )
+    from tpuhar.models.video import MobileNetV2
+
+    net = MobileNetV2()
+    variables = net.init(KEY, jnp.zeros((1, 64, 64, 3)))
+    params = _randomize_leaves(variables["params"], rng)
+    batch_stats = _randomize_leaves(variables["batch_stats"], rng)
+
+    sd = export_mobilenet_v2_state_dict(params, batch_stats)
+    p2, bs2 = convert_mobilenet_v2_state_dict(sd)
+    assert _tree_equal(params, p2) and _tree_equal(batch_stats, bs2)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    out_a = net.apply({"params": params, "batch_stats": batch_stats}, x)
+    out_b = net.apply({"params": p2, "batch_stats": bs2}, x)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_videomae_export_roundtrip(rng, tmp_path):
+    from tpuhar.models.convert import (
+        export_videomae_state_dict,
+        load_state_dict,
+        save_state_dict,
+    )
+
+    depth, d_model, heads = 4, 192, 3  # videomae_tiny
+    net = VideoViT(depth=depth, d_model=d_model, num_heads=heads)
+    clip = jnp.zeros((1, 4, 32, 32, 3))
+    variables = net.init(KEY, clip)
+    # randomize EVERY leaf: the exported tree must carry the drifted position table
+    # and the nonzero key bias (both absent from stock HF checkpoints)
+    params = _randomize_leaves(variables["params"], rng)
+    n_positions = params["pos_encoding"].shape[1]
+
+    sd = export_videomae_state_dict(params, depth, heads)
+    assert "embeddings.position_embeddings" in sd
+    assert "encoder.layer.0.attention.attention.k_bias" in sd
+    p2 = convert_videomae_state_dict(sd, depth, d_model, heads, n_positions)
+    assert _tree_equal(params, p2)
+
+    save_state_dict(sd, tmp_path / "vit.pt")
+    p3 = convert_videomae_state_dict(
+        load_state_dict(tmp_path / "vit.pt"), depth, d_model, heads, n_positions
+    )
+    assert _tree_equal(params, p3)
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)).astype(np.float32))
+    emb_a, _ = net.apply({"params": params}, x)
+    emb_b, _ = net.apply({"params": p2}, x)
+    np.testing.assert_array_equal(np.asarray(emb_a), np.asarray(emb_b))
+
+
+def test_videomae_zero_kbias_export_is_hf_shaped(rng):
+    """An untrained-key-bias tree exports to the EXACT HF key set (no extension
+    keys beyond position_embeddings), so exported checkpoints remain loadable by
+    HF-side tooling."""
+    from tpuhar.models.convert import export_videomae_state_dict
+
+    depth, d_model, heads = 2, 48, 2
+    net = VideoViT(depth=depth, d_model=d_model, num_heads=heads)
+    variables = net.init(KEY, jnp.zeros((1, 4, 32, 32, 3)))
+    sd = export_videomae_state_dict(variables["params"], depth, heads)
+    assert not any(k.endswith(".k_bias") for k in sd)
+
+
+def test_export_video_backbone_dispatch(rng):
+    """Full VideoEncoder tree → flat sd → graft back == original backbone leaves."""
+    from tpuhar.models.convert import (
+        convert_video_backbone,
+        export_video_backbone,
+        graft_video_backbone,
+    )
+    from tpuhar.models.video import VideoEncoder
+
+    cfg = _graft_cfg()  # resnet18 backbone
+    enc = VideoEncoder(backbone="resnet18", video_d_model=64)
+    variables = enc.init(KEY, jnp.zeros((1, 2, 32, 32, 3)))
+    variables = {
+        "params": _randomize_leaves(variables["params"], rng),
+        "batch_stats": _randomize_leaves(variables["batch_stats"], rng),
+    }
+    sd = export_video_backbone(variables, cfg)
+    regrafted = graft_video_backbone(
+        variables, convert_video_backbone(sd, cfg), "resnet18"
+    )
+    assert _tree_equal(
+        variables["params"]["backbone"], regrafted["params"]["backbone"]
+    )
+    assert _tree_equal(
+        variables["batch_stats"]["backbone"], regrafted["batch_stats"]["backbone"]
+    )
+
+
+def test_export_video_backbone_rejects_native_towers():
+    from tpuhar.models.convert import export_video_backbone
+
+    cfg = _graft_cfg()
+    cfg.model.video_backbone = "tpu_cnn"
+    with pytest.raises(ValueError, match="no torch-layout export"):
+        export_video_backbone({"params": {}}, cfg)

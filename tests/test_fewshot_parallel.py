@@ -109,17 +109,24 @@ def test_per_run_stopper_matches_sequential_earlystopper():
 
 
 def test_parallel_matches_sequential_fewshot(synthetic_config):
-    """Same tiny grid through both harnesses: per-cell balanced accuracy must agree
-    within noise (different RNG streams → not bitwise; both must learn the same
-    separable fixture to a similar level)."""
+    """Same tiny grid through both harnesses, compared PER CELL (n_samples × mode,
+    averaged over runs): with enough epochs both must learn the separable fixture to
+    the same level, so a tight bound holds and a stopper/masking regression (which
+    tanks one harness's cells) actually fails (VERDICT r2 weak #3 — the old 25-point
+    mean-over-everything tolerance passed under nearly any semantic regression)."""
     import jax
 
     from tpuhar.eval.evaluator import FewShotEvaluator
 
     cfg = synthetic_config
     dfs = _prep(cfg)
-    cfg.training.train_epochs = 6
-    cfg.training.patience = 6
+    # enough budget that both harnesses converge on the separable fixture — the
+    # tight per-cell bound below is only defensible at convergence (3-shot cells
+    # run ~1 optimizer step/epoch; at 10 epochs both harnesses sat at chance)
+    cfg.training.train_epochs = 40
+    cfg.training.patience = 40
+    cfg.training.train_lr_encoder = 3e-3
+    cfg.training.train_lr_head = 3e-3
 
     par = run_parallel_fewshot(
         cfg, None, dfs["train"], dfs["test"], dfs["val"],
@@ -129,8 +136,15 @@ def test_parallel_matches_sequential_fewshot(synthetic_config):
         None, dfs["train"], dfs["test"], dfs["val"],
         experiment_name="x", verbose=False,
     )
-    for mode in cfg.eval.eval_modes:
-        p = par[par["mode"] == mode]["balanced_accuracy"].mean()
-        s = seq[seq["mode"] == mode]["balanced_accuracy"].mean()
-        # same fixture, same sampling seeds, same budget — means agree within noise
-        assert abs(p - s) <= 25.0, f"{mode}: parallel {p:.1f} vs sequential {s:.1f}"
+    for n in cfg.eval.few_shot_samples:
+        for mode in cfg.eval.eval_modes:
+            p = par[(par["mode"] == mode) & (par["n_samples"] == n)][
+                "balanced_accuracy"
+            ].mean()
+            s = seq[(seq["mode"] == mode) & (seq["n_samples"] == n)][
+                "balanced_accuracy"
+            ].mean()
+            # different RNG streams → not bitwise; converged runs agree per cell
+            assert abs(p - s) <= 5.0, (
+                f"cell (n={n}, {mode}): parallel {p:.1f} vs sequential {s:.1f}"
+            )

@@ -111,6 +111,64 @@ def test_latency_summary(rng):
     assert s["p50_ms"] > 0
 
 
+def test_predict_stream_matches_predict(rng):
+    """Overlapped stream serving yields exactly what per-batch predict computes, in
+    order, across padded/full/dict-shaped batches."""
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    sizes = [8, 3, 8, 5]
+    batches, refs = [], []
+    for i, n in enumerate(sizes):
+        imu = rng.normal(0, 8000, size=(n, 250, 6)).astype(np.float32)
+        video = (rng.random((n, 4, 32, 32, 3)) * 255).astype(np.uint8)
+        batches.append({"imu": imu, "video": video} if i % 2 else (imu, video))
+        refs.append(engine.predict(imu, video))
+    outs = list(engine.predict_stream(iter(batches), depth=2))
+    assert len(outs) == len(sizes)
+    for out, ref, n in zip(outs, refs, sizes):
+        assert out["logits"].shape == (n, cfg.model.num_classes)
+        np.testing.assert_allclose(out["logits"], ref["logits"], atol=1e-5)
+        np.testing.assert_array_equal(out["preds"], ref["preds"])
+
+
+def test_predict_stream_oversized_raises(rng):
+    engine = _fusion_engine(_cfg())
+    imu = rng.normal(size=(9, 250, 6)).astype(np.float32)  # > max registered 8
+    video = (rng.random((9, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="largest registered"):
+        list(engine.predict_stream([(imu, video)]))
+
+
+def test_predict_stream_mesh_sharded(rng):
+    """Stream path through a data-parallel mesh engine: same answers as unsharded."""
+    cfg = _cfg()
+    mesh = create_mesh(model_axis_size=1)
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+    engine = InferenceEngine(cfg, variables, batch_sizes=[16], mesh=mesh)
+    plain = InferenceEngine(cfg, variables, batch_sizes=[16])
+    batches = []
+    for _ in range(3):
+        imu = rng.normal(size=(16, 250, 6)).astype(np.float32)
+        video = (rng.random((16, 4, 32, 32, 3)) * 255).astype(np.uint8)
+        batches.append((imu, video))
+    for out, (imu, video) in zip(engine.predict_stream(iter(batches)), batches):
+        np.testing.assert_allclose(
+            out["logits"], plain.predict(imu, video)["logits"], atol=1e-4
+        )
+
+
+def test_quantized_engine_rejects_imu_only():
+    cfg = _cfg()
+    model = IMUClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)))
+    with pytest.raises(ValueError, match="imu_only"):
+        InferenceEngine(
+            cfg, variables, imu_only=True,
+            quantize_calib_clips=np.zeros((2, 4, 32, 32, 3), np.uint8),
+        )
+
+
 def test_quantized_engine(rng):
     """InferenceEngine(quantize_calib_clips=...) serves through the int8 tower with
     the same output contract and logits close to the bf16/f32 engine."""

@@ -29,12 +29,30 @@ def generate_synthetic_dataset(
     with_video: bool = True,
     seed: int = 0,
     splits=("train", "val", "test"),
+    difficulty: str = "easy",
+    label_noise: float = 0.0,
 ) -> Path:
     """Create a fake dataset under ``root``; returns ``root``.
 
     Every class appears in every split (different random samples), matching how the
     real split files reference the same class directories.
+
+    ``difficulty``:
+      - ``"easy"`` (default, round-1/2 fixture): widely-separated class frequencies
+        and amplitudes, strong video tints — every tower saturates (≈100 bal-acc),
+        useful for pipeline/CI correctness, useless for comparing towers.
+      - ``"hard"``: overlapping class frequencies with per-sequence jitter wider than
+        the class gap, amplitude cues removed, 6× the sensor noise, near-identical
+        video tints under heavy noise + per-sequence brightness shifts — tuned so
+        matched-budget towers land mid-range (VERDICT r2: the accuracy head-to-head
+        must be able to *fail*).
+
+    ``label_noise``: fraction of TRAIN-split windows whose label field is flipped to
+    a random other class (the files stay in their true class directory — only the
+    split-file label lies, as real mislabeled data would).
     """
+    if difficulty not in ("easy", "hard"):
+        raise ValueError(f"difficulty must be 'easy' or 'hard', got {difficulty!r}")
     rng = np.random.default_rng(seed)
     root = Path(root)
     (root / "sensor").mkdir(parents=True, exist_ok=True)
@@ -53,7 +71,7 @@ def generate_synthetic_dataset(
                     if seq_len is not None
                     else int(rng.integers(seq_len_range[0], seq_len_range[1]))
                 )
-                raw = _synth_sequence(rng, n, ci)
+                raw = _synth_sequence(rng, n, ci, difficulty=difficulty)
                 sdir = root / "sensor" / class_dir
                 sdir.mkdir(parents=True, exist_ok=True)
                 np.savetxt(sdir / f"{prefix}.csv", raw, delimiter=",", fmt="%.1f")
@@ -66,40 +84,71 @@ def generate_synthetic_dataset(
                         num_frames=max(int(n / 50.0 * fps), 8),
                         size=video_size,
                         fps=fps,
+                        difficulty=difficulty,
                     )
 
+                label = ci
+                if label_noise > 0 and split == "train" and rng.random() < label_noise:
+                    label = int((ci + rng.integers(1, num_classes)) % num_classes)
                 start, end = 0, max(n // 50, 1)
-                lines.append(f"dataset/data/{class_dir}/{prefix} {start} {end} {ci}")
+                lines.append(f"dataset/data/{class_dir}/{prefix} {start} {end} {label}")
         (root / f"{split}.txt").write_text("\n".join(lines) + "\n")
     return root
 
 
-def _synth_sequence(rng: np.random.Generator, n: int, class_idx: int) -> np.ndarray:
-    """Class-dependent 6-channel raw-count IMU sequence (acc ~ ±1g, gyro ~ ±50 deg/s)."""
+def _synth_sequence(
+    rng: np.random.Generator, n: int, class_idx: int, difficulty: str = "easy"
+) -> np.ndarray:
+    """Class-dependent 6-channel raw-count IMU sequence (acc ~ ±1g, gyro ~ ±50 deg/s).
+
+    ``hard``: class frequencies 0.12 Hz apart with ±0.09 Hz per-sequence jitter
+    (adjacent classes overlap), amplitudes shared across classes (no amplitude cue),
+    6× sensor noise — separable in aggregate, not per window.
+    """
     t = np.arange(n) / 50.0
-    freq = 0.5 + 0.7 * class_idx
-    phase = rng.uniform(0, 2 * np.pi, size=6)
-    amp_acc = 16384.0 * (0.3 + 0.1 * class_idx)
-    amp_gyr = 16.4 * (20.0 + 5.0 * class_idx)
     out = np.zeros((n, 6), dtype=np.float32)
+    phase = rng.uniform(0, 2 * np.pi, size=6)
+    if difficulty == "hard":
+        freq = 0.8 + 0.12 * class_idx + rng.uniform(-0.09, 0.09)
+        amp_acc = 16384.0 * 0.4 * rng.uniform(0.85, 1.15)
+        amp_gyr = 16.4 * 30.0 * rng.uniform(0.85, 1.15)
+        noise = 0.3 * 16384.0
+    else:
+        freq = 0.5 + 0.7 * class_idx
+        amp_acc = 16384.0 * (0.3 + 0.1 * class_idx)
+        amp_gyr = 16.4 * (20.0 + 5.0 * class_idx)
+        noise = 0.05 * 16384.0
     for c in range(3):
         out[:, c] = amp_acc * np.sin(2 * np.pi * freq * (c + 1) * t + phase[c])
     for c in range(3, 6):
         out[:, c] = amp_gyr * np.sin(2 * np.pi * freq * (c - 2) * t + phase[c])
-    out += rng.normal(0, 0.05 * 16384.0, size=out.shape)
+    out += rng.normal(0, noise, size=out.shape)
     return out.astype(np.float32)
 
 
-def _write_video(path: Path, rng, class_idx: int, num_frames: int, size, fps: float) -> None:
+def _write_video(
+    path: Path, rng, class_idx: int, num_frames: int, size, fps: float,
+    difficulty: str = "easy",
+) -> None:
     import cv2
 
     path.parent.mkdir(parents=True, exist_ok=True)
     w, h = size
     writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     tint = np.zeros(3, dtype=np.float32)
-    tint[class_idx % 3] = 80.0 + 40.0 * (class_idx // 3)
+    if difficulty == "hard":
+        # weak, overlapping chroma cue buried under noise + a per-sequence global
+        # brightness shift (a nuisance factor the model must learn to ignore)
+        tint[class_idx % 3] = 18.0 + 6.0 * (class_idx // 3)
+        tint[(class_idx + 1) % 3] = 9.0
+        base = rng.uniform(60.0, 120.0)
+        noise_sigma = 45.0
+    else:
+        tint[class_idx % 3] = 80.0 + 40.0 * (class_idx // 3)
+        base = 90.0
+        noise_sigma = 30.0
     for fi in range(num_frames):
-        frame = rng.normal(90.0, 30.0, size=(h, w, 3)).astype(np.float32)
+        frame = rng.normal(base, noise_sigma, size=(h, w, 3)).astype(np.float32)
         frame += tint * (0.5 + 0.5 * np.sin(2 * np.pi * fi / 16.0))
         writer.write(np.clip(frame, 0, 255).astype(np.uint8))
     writer.release()

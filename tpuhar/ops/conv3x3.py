@@ -214,6 +214,13 @@ def conv3x3_bn_act(
 
     scratch = [pltpu.VMEM((bm, 9 * C), x.dtype)] if im2col else []
     flops = 2 * M * 9 * C * cout
+    # input read ×3 (halo BlockSpec views) + weights + output write (+ residual read)
+    bytes_accessed = (
+        3 * M * C * x.dtype.itemsize
+        + 9 * C * cout * x.dtype.itemsize
+        + M * cout * x.dtype.itemsize
+        + (M * cout * x.dtype.itemsize if residual is not None else 0)
+    )
     out = pl.pallas_call(
         functools.partial(
             _kernel, S=S, BM=bm, relu=relu,
@@ -226,7 +233,7 @@ def conv3x3_bn_act(
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=3 * M * C * x.dtype.itemsize + M * cout * x.dtype.itemsize,
+            bytes_accessed=bytes_accessed,
             transcendentals=0,
         ),
         interpret=interpret,

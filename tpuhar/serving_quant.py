@@ -8,17 +8,27 @@ surrogate) clips.
 
 Accuracy: int8 drift is bounded by the quantization tests (<15% mean feature drift,
 >0.98 correlation on random nets; tighter on trained nets with real calibration).
+
+**OOD-score recalibration** (on by default): quantization drifts the logit
+distribution, which shifts msp/energy OOD scores even when predictions are stable —
+on near-ceiling logits the drift alone collapsed msp AUROC 0.877→0.548 on one
+held-out class (docs/int8_ood_parity.json, round 2).  At build time the calibration
+clips are scored through BOTH the f32 program and the int8 program and a closed-form
+affine logit map (per-class scale + bias, shrunk toward a shared scalar when
+calibration is small) is fitted so the int8 program emits f32-distributed logits;
+msp/energy (and downstream thresholds) then transfer from the f32 deployment
+unchanged.  Validated in ``scripts/validate_int8_ood.py``.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
 
 from .models.crossmodal import FusionClassifier
 from .ood import energy_score, msp_score
-from .ops.featurize import featurize_windows
+from .ops.fused_window import featurize_windows_auto
 from .ops.quant import (
     calibrate_resnet18,
     calibrate_tpucnn,
@@ -37,12 +47,58 @@ _QUANT_BACKBONES = {
 }
 
 
-def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
+def fit_logit_recalibration(
+    f32_logits, int8_logits, *, shrink_samples: int = 32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form affine map ``l → a·l + b`` aligning int8 logits to f32 logits.
+
+    Least squares over calibration samples, per class column (``a``, ``b`` are
+    ``(num_classes,)``), with each per-class scale shrunk toward the shared scalar
+    solution by ``N/(N+shrink_samples)`` so tiny calibration sets degrade to the
+    robust scalar fit instead of overfitting.  AUROC of msp/energy is NOT invariant
+    to this map (it mixes all classes into each score), which is exactly why it
+    restores the f32 score distribution.
+    """
+    lf = np.asarray(f32_logits, np.float64)
+    l8 = np.asarray(int8_logits, np.float64)
+    if lf.shape != l8.shape or lf.ndim != 2:
+        raise ValueError(f"paired 2-D logits required, got {lf.shape} vs {l8.shape}")
+    n = lf.shape[0]
+    l8c = l8 - l8.mean(0)
+    lfc = lf - lf.mean(0)
+    denom_s = float((l8c * l8c).sum())
+    a_scalar = float((l8c * lfc).sum() / denom_s) if denom_s > 1e-12 else 1.0
+    if not np.isfinite(a_scalar) or a_scalar <= 0:
+        a_scalar = 1.0
+    denom_c = (l8c * l8c).sum(0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a_cls = (l8c * lfc).sum(0) / denom_c
+    a_cls = np.where(np.isfinite(a_cls) & (a_cls > 0), a_cls, a_scalar)
+    w = n / (n + float(shrink_samples))
+    a = w * a_cls + (1.0 - w) * a_scalar
+    b = lf.mean(0) - a * l8.mean(0)
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+def build_quantized_forward(
+    cfg,
+    variables: Dict,
+    calib_clips_u8: np.ndarray,
+    *,
+    calib_imu_raw: Optional[np.ndarray] = None,
+    recalibrate: bool = True,
+):
     """Returns ``fn(imu_raw, video_u8) -> {logits, msp, energy, embeddings}``.
 
     ``variables`` is a FusionClassifier variables tree with a resnet18 or tpu_cnn
     video backbone; ``calib_clips_u8`` is ``(Ncal, T, H, W, 3)`` uint8 used for
-    activation calibration.
+    activation calibration — and, when ``recalibrate`` (default), for fitting the
+    affine logit map that restores the f32 msp/energy score distribution (module
+    docstring).  ``calib_imu_raw`` optionally pairs ``(Ncal, window, channels)`` raw
+    IMU counts with the clips for that fit; without it surrogate raw-count noise is
+    used (the int8-vs-f32 logit drift originates in the video tower — the IMU branch
+    is bit-identical in both programs — so any shared IMU input exposes it).
+    The fitted map is exposed as ``fn.recalibration = (a, b)`` (None if disabled).
     """
     if cfg.model.video_backbone not in _QUANT_BACKBONES:
         raise ValueError(
@@ -86,9 +142,13 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
         else:
             q = jax.device_get(quantize(bb_params, bb_stats, act_stats))
 
+    recal: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
     def forward(imu_raw, video_u8):
         B, T = video_u8.shape[0], video_u8.shape[1]
-        imu = featurize_windows(
+        # same fused Pallas featurization as the bf16 engine (serving.py) — the jnp
+        # reference path is CPU/test-only
+        imu = featurize_windows_auto(
             imu_raw, kernel_size=d.median_filter_kernel,
             normalize=d.normalize_imu, racc=d.Racc, rgyro=d.Rgyro,
         )
@@ -104,6 +164,8 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
             variables, imu, tokens, train=False,
             method=FusionClassifier.fuse_with_tokens,
         )
+        if recal is not None:
+            logits = recal[0] * logits + recal[1]  # f32-distributed logits
         return {
             "logits": logits,
             "msp": msp_score(logits),
@@ -111,4 +173,33 @@ def build_quantized_forward(cfg, variables: Dict, calib_clips_u8: np.ndarray):
             "embeddings": fused,
         }
 
+    if recalibrate:
+        # Run-once paired scoring of the calibration clips through both programs —
+        # on CPU for the same eager/remote-compile reason as the activation walk.
+        clips = np.asarray(calib_clips_u8)
+        if calib_imu_raw is not None:
+            imu_cal = np.asarray(calib_imu_raw, np.float32)
+        else:
+            imu_cal = (
+                np.random.default_rng(0)
+                .normal(0.0, 8000.0, (len(clips), d.imu_window_size, d.imu_channels))
+                .astype(np.float32)
+            )
+
+        def f32_forward(imu_raw, video_u8):
+            imu = featurize_windows_auto(
+                imu_raw, kernel_size=d.median_filter_kernel,
+                normalize=d.normalize_imu, racc=d.Racc, rgyro=d.Rgyro,
+            )
+            logits, _ = model.apply(
+                variables, imu, normalize_clip(video_u8), train=False
+            )
+            return logits
+
+        with jax.default_device(calib_device):
+            lf = np.asarray(jax.jit(f32_forward)(imu_cal, clips))
+            l8 = np.asarray(jax.jit(forward)(imu_cal, clips)["logits"])
+        recal = fit_logit_recalibration(lf, l8)
+
+    forward.recalibration = recal
     return forward
