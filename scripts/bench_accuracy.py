@@ -56,6 +56,11 @@ def parse_args():
         "--label-noise", type=float, default=0.1,
         help="fraction of train windows with flipped labels (hard fixture)",
     )
+    p.add_argument(
+        "--freq-jitter", type=float, default=None,
+        help="hard fixture per-sequence frequency jitter half-width in Hz "
+        "(default 0.09; raise toward 0.15-0.20 for a mid-range landing)",
+    )
     p.add_argument("--loo-classes", default="", help="comma list; empty = all")
     p.add_argument("--out", default="outputs/bench_accuracy")
     p.add_argument("--seed", type=int, default=0)
@@ -192,6 +197,7 @@ def main():
             seq_len=args.seq_len, seed=args.seed,
             difficulty=args.difficulty,
             label_noise=args.label_noise if args.difficulty == "hard" else 0.0,
+            freq_jitter=args.freq_jitter,
         )
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]

@@ -158,6 +158,17 @@ def test_predict_stream_mesh_sharded(rng):
         )
 
 
+def test_calib_imu_requires_calib_clips(rng):
+    cfg = _cfg()
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+    with pytest.raises(ValueError, match="quantize_calib_clips"):
+        InferenceEngine(
+            cfg, variables,
+            quantize_calib_imu=np.zeros((2, 250, 6), np.float32),
+        )
+
+
 def test_quantized_engine_rejects_imu_only():
     cfg = _cfg()
     model = IMUClassifier(cfg)

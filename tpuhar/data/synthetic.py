@@ -31,6 +31,7 @@ def generate_synthetic_dataset(
     splits=("train", "val", "test"),
     difficulty: str = "easy",
     label_noise: float = 0.0,
+    freq_jitter: Optional[float] = None,
 ) -> Path:
     """Create a fake dataset under ``root``; returns ``root``.
 
@@ -50,6 +51,11 @@ def generate_synthetic_dataset(
     ``label_noise``: fraction of TRAIN-split windows whose label field is flipped to
     a random other class (the files stay in their true class directory — only the
     split-file label lies, as real mislabeled data would).
+
+    ``freq_jitter``: override the hard variant's per-sequence frequency jitter
+    half-width in Hz (default ±0.09 vs the 0.12 Hz class gap → Bayes error of a few
+    percent, towers land high-90s; ±0.15–0.20 pushes adjacent-class overlap high
+    enough for a mid-range landing).  Ignored for ``"easy"``.
     """
     if difficulty not in ("easy", "hard"):
         raise ValueError(f"difficulty must be 'easy' or 'hard', got {difficulty!r}")
@@ -71,7 +77,9 @@ def generate_synthetic_dataset(
                     if seq_len is not None
                     else int(rng.integers(seq_len_range[0], seq_len_range[1]))
                 )
-                raw = _synth_sequence(rng, n, ci, difficulty=difficulty)
+                raw = _synth_sequence(
+                    rng, n, ci, difficulty=difficulty, freq_jitter=freq_jitter
+                )
                 sdir = root / "sensor" / class_dir
                 sdir.mkdir(parents=True, exist_ok=True)
                 np.savetxt(sdir / f"{prefix}.csv", raw, delimiter=",", fmt="%.1f")
@@ -97,7 +105,8 @@ def generate_synthetic_dataset(
 
 
 def _synth_sequence(
-    rng: np.random.Generator, n: int, class_idx: int, difficulty: str = "easy"
+    rng: np.random.Generator, n: int, class_idx: int, difficulty: str = "easy",
+    freq_jitter: Optional[float] = None,
 ) -> np.ndarray:
     """Class-dependent 6-channel raw-count IMU sequence (acc ~ ±1g, gyro ~ ±50 deg/s).
 
@@ -109,7 +118,8 @@ def _synth_sequence(
     out = np.zeros((n, 6), dtype=np.float32)
     phase = rng.uniform(0, 2 * np.pi, size=6)
     if difficulty == "hard":
-        freq = 0.8 + 0.12 * class_idx + rng.uniform(-0.09, 0.09)
+        j = 0.09 if freq_jitter is None else float(freq_jitter)
+        freq = 0.8 + 0.12 * class_idx + rng.uniform(-j, j)
         amp_acc = 16384.0 * 0.4 * rng.uniform(0.85, 1.15)
         amp_gyr = 16.4 * 30.0 * rng.uniform(0.85, 1.15)
         noise = 0.3 * 16384.0

@@ -55,6 +55,7 @@ class InferenceEngine:
         mahalanobis: Optional[MahalanobisScorer] = None,
         fold_normalize: bool = True,
         quantize_calib_clips=None,
+        quantize_calib_imu=None,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -64,11 +65,19 @@ class InferenceEngine:
         ``mahalanobis`` fitted via this engine's own ``predict`` embeddings —
         mirroring the zscore-scope caveat above); msp/energy are recalibrated
         automatically from the calibration clips (per-class affine logit map, see
-        ``serving_quant.fit_logit_recalibration``)."""
+        ``serving_quant.fit_logit_recalibration``).  ``quantize_calib_imu``
+        optionally pairs ``(Ncal, window, channels)`` raw IMU counts with the clips
+        for that fit (surrogate noise otherwise — the logit drift originates in the
+        video tower, so any shared IMU input exposes it)."""
         if quantize_calib_clips is not None and imu_only:
             raise ValueError(
                 "quantize_calib_clips requests the int8 video tower, which does not "
                 "exist for imu_only=True — drop one of the two options"
+            )
+        if quantize_calib_imu is not None and quantize_calib_clips is None:
+            raise ValueError(
+                "quantize_calib_imu only pairs with quantize_calib_clips (it feeds "
+                "the int8 logit-recalibration fit)"
             )
         self.config = config
         self.imu_only = imu_only
@@ -85,7 +94,11 @@ class InferenceEngine:
             from .serving_quant import build_quantized_forward
 
             qforward = build_quantized_forward(
-                config, variables, np.asarray(quantize_calib_clips)
+                config, variables, np.asarray(quantize_calib_clips),
+                calib_imu_raw=(
+                    None if quantize_calib_imu is None
+                    else np.asarray(quantize_calib_imu)
+                ),
             )
             maha = self.mahalanobis
 
