@@ -22,6 +22,14 @@ import time
 
 import numpy as np
 
+# Which program is the headline `value`: the int8 PTQ serving path (measured ~10.5k
+# inf/s = 210%) or bf16 (~7.3k = 146%).  int8 becomes the headline only with OOD
+# evidence behind it: Mahalanobis AUROC bit-parity + recalibrated msp/energy parity
+# on trained checkpoints on the non-ceiling fixture (scripts/validate_int8_ood.py,
+# docs/int8_ood_parity_hard.json).  bf16 is always reported alongside; if the int8
+# build fails at runtime, bf16 silently remains the headline.
+INT8_HEADLINE = False
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -187,24 +195,33 @@ def main():
         except Exception as e:  # noqa: BLE001 — headline must survive int8 issues
             log(f"int8 path skipped: {type(e).__name__}: {str(e)[:200]}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "fused_imu_video_inferences_per_sec_per_chip",
-                "value": round(throughput, 1),
-                "unit": "inferences/sec/chip",
-                "vs_baseline": round(throughput / 5000.0, 4),
-                "batch": batch,
-                "step_ms": round(step_ms, 3),
-                "p50_batch_latency_ms": round(p50_batch_ms, 3),
-                "p50_window_latency_ms": p50_window_ms,
-                "latency_sweep_ms": latency_sweep_ms,
-                "platform": platform,
-                "backbone": cfg.model.video_backbone,
-                **int8_extras,
-            }
+    result = {
+        "metric": "fused_imu_video_inferences_per_sec_per_chip",
+        "value": round(throughput, 1),
+        "unit": "inferences/sec/chip",
+        "vs_baseline": round(throughput / 5000.0, 4),
+        "batch": batch,
+        "step_ms": round(step_ms, 3),
+        "p50_batch_latency_ms": round(p50_batch_ms, 3),
+        "p50_window_latency_ms": p50_window_ms,
+        "latency_sweep_ms": latency_sweep_ms,
+        "platform": platform,
+        "backbone": cfg.model.video_backbone,
+        **int8_extras,
+    }
+    if INT8_HEADLINE and "int8_value" in int8_extras:
+        result.update(
+            value=int8_extras["int8_value"],
+            vs_baseline=int8_extras["int8_vs_baseline"],
+            step_ms=int8_extras["int8_step_ms"],
+            quantization="int8 PTQ (recalibrated; validate_int8_ood parity)",
+            bf16_value=round(throughput, 1),
+            bf16_vs_baseline=round(throughput / 5000.0, 4),
+            bf16_step_ms=round(step_ms, 3),
         )
-    )
+        for k in ("int8_value", "int8_step_ms", "int8_vs_baseline"):
+            result.pop(k, None)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

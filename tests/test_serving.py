@@ -131,6 +131,22 @@ def test_predict_stream_matches_predict(rng):
         np.testing.assert_array_equal(out["preds"], ref["preds"])
 
 
+def test_predict_stream_empty_and_depths(rng):
+    """Empty stream yields nothing; any lookahead depth gives identical answers."""
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    assert list(engine.predict_stream(iter([]))) == []
+    imu = rng.normal(0, 8000, size=(8, 250, 6)).astype(np.float32)
+    video = (rng.random((8, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    batches = [(imu, video)] * 3
+    ref = [o["logits"] for o in engine.predict_stream(iter(batches), depth=1)]
+    for depth in (2, 4):
+        outs = [o["logits"] for o in engine.predict_stream(iter(batches), depth=depth)]
+        assert len(outs) == 3
+        for a, b in zip(ref, outs):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_predict_stream_oversized_raises(rng):
     engine = _fusion_engine(_cfg())
     imu = rng.normal(size=(9, 250, 6)).astype(np.float32)  # > max registered 8
