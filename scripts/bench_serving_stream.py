@@ -110,7 +110,6 @@ def main():
     log(f"devices: {jax.devices()}")
     import pandas as pd
 
-    from tpuhar.data.loader import BatchLoader
     from tpuhar.data.synthetic import make_synthetic_config
     from tpuhar.models.crossmodal import FusionClassifier
     from tpuhar.serving import InferenceEngine, benchmark_engine
@@ -137,37 +136,20 @@ def main():
     d = cfg.data
 
     # ---- host stream: raw IMU windows (sensor CSV slices) + frame-cache clips ----
-    raw_cache = {}
-
-    def raw_window(row):
-        path = str(fixture / row.sensor_path)
-        if path not in raw_cache:
-            raw_cache[path] = np.loadtxt(path, delimiter=",", dtype=np.float32)
-        s = int(row.window_idx) * int(d.imu_stride)
-        return raw_cache[path][s : s + int(d.imu_window_size)]
+    # (the CLI `--mode serve` path: tpuhar/data/raw_stream.py — BatchLoader decodes
+    # the video side through its real path; raw IMU counts are sliced from the
+    # sensor files so the engine featurizes on device, its contract)
+    from tpuhar.data.raw_stream import raw_serving_stream
 
     def stream(n_windows):
-        """Yield (raw_imu, video_u8) batches: the serving engine's input contract.
-
-        The BatchLoader supplies the video side through its real path (frame bank →
-        JPEG decode → stack); raw IMU windows are sliced from the sensor files in
-        the same manifest order.  The loader's own featurized "imu" output is
-        discarded — the engine featurizes raw counts on device (its contract); its
-        cost stays in the measurement as a realistic host overhead.
-        """
         served = 0
         while served < n_windows:
-            loader = BatchLoader(
-                df, cfg, mode="fusion", batch_size=args.batch, prefetch=2
-            )
-            i = 0
-            for batch in loader:
-                n = int(batch.get("n_valid", len(batch["video"])))
-                rows = df.iloc[i : i + n]
-                i += n
-                imu = np.stack([raw_window(r) for r in rows.itertuples()])
-                yield imu, np.asarray(batch["video"])[:n]
-                served += n
+            for imu, video in raw_serving_stream(
+                cfg, df, batch_size=args.batch, base_input=fixture,
+                max_windows=n_windows - served,
+            ):
+                yield imu, video
+                served += len(imu)
                 if served >= n_windows:
                     return
 

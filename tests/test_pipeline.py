@@ -92,6 +92,13 @@ def test_full_pipeline(pipeline):
     assert "few_shot" in report
     assert (results_dir / "table3_fewshot.csv").exists()
 
+    # serve: the RAW test split streamed through the finetuned IMU classifier
+    served = pipeline.run_serving(split="test", batch_size=8)
+    assert (results_dir / "serving_predictions_test.csv").exists()
+    assert len(served) == len(dfs["test"])
+    assert set(served.columns) == {"label", "pred", "msp", "energy"}
+    assert served["pred"].between(0, cfg.model.num_classes - 1).all()
+
 
 def test_run_all_skips_existing(pipeline, capsys):
     cfg = pipeline.config

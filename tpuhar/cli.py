@@ -7,8 +7,10 @@ run_all / generate_final_report`` and an argparse CLI with ``--mode
 {linear_probe,finetune,both}``.  Additions beyond the reference: ``--mode ood``
 (north-star leave-one-activity-out scoring), ``--mode report`` (tables only),
 ``--resume`` (the reference ships resume machinery nothing calls, SURVEY §5.4),
-``--config`` (JSON load that actually works), and ``--set section.key=value``
-overrides.
+``--config`` (JSON load that actually works), ``--set section.key=value``
+overrides, and ``--mode serve`` (raw-input stream serving through
+``InferenceEngine.predict_stream`` — IMU-only by default, fusion/int8 via
+``--serve-checkpoint``/``--serve-fusion``/``--serve-int8``).
 
 Artifacts keep the reference's names/locations: ``results/pretraining_curves.png``
 (``main.py:103-106``), ``classification_comparison.csv`` (``:199-206``),
@@ -265,6 +267,85 @@ class Pipeline:
             print(f"\n{agg}")
         return results
 
+    def run_serving(
+        self,
+        split: str = "test",
+        checkpoint: Optional[str] = None,
+        imu_only: bool = True,
+        int8: bool = False,
+        batch_size: int = 64,
+    ) -> pd.DataFrame:
+        """Serve the RAW dataset split through ``InferenceEngine.predict_stream``.
+
+        Reconstructs raw sensor windows (the engine featurizes on device — the
+        train==serve closure) and, for fusion checkpoints, decodes clips through
+        the production loader path; writes ``serving_predictions_{split}.csv``
+        (logits argmax + msp/energy scores per window) into ``results_dir`` and
+        prints sustained throughput.  Default serves the pipeline's own
+        ``classifier_finetune`` IMU model; pass ``checkpoint=`` +
+        ``imu_only=False`` for a fusion tower (e.g. one trained by
+        ``scripts/bench_accuracy.py``), ``int8=True`` to serve it quantized.
+        """
+        print("\n=== Stage: serving ===")
+        import time
+
+        from .data.raw_stream import raw_serving_stream
+        from .serving import InferenceEngine
+
+        cfg = self.config
+        df = self._metadata(split)
+        if checkpoint is None:
+            checkpoint = str(
+                Path(cfg.paths.checkpoints_dir) / "classifier_finetune" / "best_model"
+            )
+            imu_only = True
+        if not ckpt.checkpoint_exists(Path(checkpoint)):
+            raise FileNotFoundError(
+                f"No checkpoint at {checkpoint}; run `--mode classify` first or "
+                "pass --serve-checkpoint"
+            )
+        kw = {}
+        if int8:
+            if imu_only:
+                raise ValueError("--serve-int8 applies to fusion (video) serving")
+            # calibration clips straight from the split's own loader path
+            calib = next(
+                raw_serving_stream(cfg, df, batch_size=8, with_video=True)
+            )
+            kw["quantize_calib_clips"] = calib[1]
+            kw["quantize_calib_imu"] = calib[0]
+        engine = InferenceEngine.from_checkpoint(
+            cfg, checkpoint, imu_only=imu_only,
+            batch_sizes=[batch_size], mesh=self.mesh, **kw,
+        )
+        stream = raw_serving_stream(
+            cfg, df, batch_size=batch_size, with_video=not imu_only
+        )
+        rows, served = [], 0
+        t0 = time.perf_counter()
+        for out in engine.predict_stream(stream):
+            n = len(out["preds"])
+            for j in range(n):
+                rows.append(
+                    {
+                        "pred": int(out["preds"][j]),
+                        "msp": float(out["msp"][j]),
+                        "energy": float(out["energy"][j]),
+                    }
+                )
+            served += n
+        wall = time.perf_counter() - t0
+        result = df.reset_index(drop=True).loc[: served - 1, ["label"]].copy()
+        result[["pred", "msp", "energy"]] = pd.DataFrame(rows)
+        out_path = Path(cfg.paths.results_dir) / f"serving_predictions_{split}.csv"
+        result.to_csv(out_path, index=False)
+        acc = float((result["pred"] == result["label"]).mean()) * 100
+        print(
+            f"[Serve] {served} windows in {wall:.1f}s = {served / wall:.1f} inf/s "
+            f"(accuracy {acc:.2f}%) -> {out_path}"
+        )
+        return result
+
     def run_all(self, classify_mode: str = "both", resume: bool = False):
         """Run every stage, skipping those whose artifacts exist (``main.py:280-288``)."""
         cfg = self.config
@@ -342,10 +423,25 @@ def main(argv=None):
         "--mode",
         choices=[
             "preprocess", "pretrain", "classify", "evaluate", "zeroshot", "ood",
-            "ablate", "report", "all",
+            "ablate", "report", "serve", "all",
         ],
         default="all",
     )
+    parser.add_argument("--serve-split", default="test")
+    parser.add_argument(
+        "--serve-checkpoint", default=None,
+        help="checkpoint to serve (default: the pipeline's classifier_finetune, "
+        "IMU-only); fusion checkpoints imply video decoding",
+    )
+    parser.add_argument(
+        "--serve-fusion", action="store_true",
+        help="the --serve-checkpoint is a FusionClassifier (IMU+video serving)",
+    )
+    parser.add_argument(
+        "--serve-int8", action="store_true",
+        help="serve the fusion tower through the int8 PTQ program",
+    )
+    parser.add_argument("--serve-batch", type=int, default=64)
     parser.add_argument(
         "--classify-mode",
         choices=["linear_probe", "finetune", "both"],
@@ -383,6 +479,14 @@ def main(argv=None):
         pipeline.run_ood()
     elif args.mode == "report":
         pipeline.generate_final_report()
+    elif args.mode == "serve":
+        pipeline.run_serving(
+            split=args.serve_split,
+            checkpoint=args.serve_checkpoint,
+            imu_only=not args.serve_fusion,
+            int8=args.serve_int8,
+            batch_size=args.serve_batch,
+        )
     else:
         pipeline.run_all(args.classify_mode, resume=args.resume)
 
