@@ -202,7 +202,19 @@ def main():
 
     backbones = [b.strip() for b in args.backbones.split(",") if b.strip()]
     shared_pre = workdir / "preprocessed"
+    # Towers run one-per-process on this box (the axon client leaks host RAM per
+    # upload — CLAUDE.md), so MERGE into any results.json a previous tower's process
+    # already wrote instead of clobbering it.
+    results_path = workdir / "results.json"
     results = []
+    if results_path.exists():
+        try:
+            results = [
+                r for r in json.loads(results_path.read_text())
+                if r.get("backbone") not in backbones
+            ]
+        except (json.JSONDecodeError, TypeError):
+            results = []
     dfs = None
     for bb in backbones:
         cfg = build_config(args, fixture, workdir / bb, bb, shared_pre)
@@ -212,7 +224,7 @@ def main():
             dfs = (out["train"], out["val"], out["test"])
             log(f"windows: train={len(dfs[0])} val={len(dfs[1])} test={len(dfs[2])}")
         results.append(run_backbone(args, cfg, bb, dfs))
-        (workdir / "results.json").write_text(json.dumps(results, indent=2))
+        results_path.write_text(json.dumps(results, indent=2))
 
     # Markdown summary
     scores = sorted({k[len("auroc_"):] for r in results for k in r if k.startswith("auroc_")})
