@@ -83,6 +83,29 @@ def test_imu_only_engine_with_mahalanobis(rng):
     assert (out["mahalanobis"] >= 0).all()
 
 
+def test_extra_scorers_in_serving_program(rng):
+    from tpuhar.ood import KNNScorer, RelativeMahalanobisScorer
+
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(0, 8000, size=(8, 250, 6)).astype(np.float32)
+    video = (rng.random((8, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    # recommended flow: fit embedding scorers on embeddings served by this engine
+    bank = engine.predict(imu, video)["embeddings"]
+    labels = rng.integers(0, 4, 8)
+    extras = {
+        "knn": KNNScorer.fit(bank, k=3),
+        "rmd": RelativeMahalanobisScorer.fit(bank, labels, 4),
+    }
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+    engine2 = InferenceEngine(cfg, variables, batch_sizes=[8], extra_scorers=extras)
+    out = engine2.predict(imu[:5], video[:5])
+    assert out["knn"].shape == (5,) and out["rmd"].shape == (5,)
+    assert np.isfinite(out["knn"]).all() and np.isfinite(out["rmd"]).all()
+    assert (out["knn"] >= 0).all()
+
+
 def test_mesh_sharded_engine(rng):
     cfg = _cfg()
     mesh = create_mesh(model_axis_size=1)  # 8-way data parallel

@@ -8,7 +8,9 @@ import pytest
 import jax.numpy as jnp
 
 from tpuhar.ood import (
+    KNNScorer,
     MahalanobisScorer,
+    RelativeMahalanobisScorer,
     compute_ood_scores,
     energy_score,
     fpr_at_tpr,
@@ -114,6 +116,92 @@ def test_compute_ood_scores_keys(rng):
     scorer = MahalanobisScorer.fit(emb, rng.integers(0, 4, 10), 4)
     out = compute_ood_scores(logits, emb, mahalanobis=scorer)
     assert set(out) == {"msp", "energy", "mahalanobis"}
+    for v in out.values():
+        assert v.shape == (10,)
+
+
+def test_knn_scorer_separates_clusters(rng):
+    # kNN operates on L2-normalized features: ID classes must be directional
+    # clusters (as trained penultimate embeddings are), not zero-mean blobs —
+    # normalization erases any purely radial offset.
+    d, n = 8, 300
+    m1, m2, m_ood = np.zeros(d), np.zeros(d), np.zeros(d)
+    m1[0], m2[1], m_ood[7] = 10.0, 10.0, 10.0
+    id_emb = np.concatenate(
+        [m1 + rng.normal(0, 0.5, size=(n // 2, d)),
+         m2 + rng.normal(0, 0.5, size=(n // 2, d))]
+    ).astype(np.float32)
+    ood_emb = (m_ood + rng.normal(0, 0.5, size=(50, d))).astype(np.float32)
+    scorer = KNNScorer.fit(id_emb, k=10)
+    id_scores = np.asarray(scorer.score(id_emb))
+    ood_scores = np.asarray(scorer.score(ood_emb))
+    assert np.median(ood_scores) > np.percentile(id_scores, 99)
+    # unit-sphere geometry: kth-NN distance on normalized vectors is in [0, 2]
+    assert float(id_scores.min()) >= 0.0 and float(ood_scores.max()) <= 2.0
+
+
+def test_knn_scorer_bank_subsample_and_k_clamp(rng):
+    emb = rng.normal(size=(100, 4)).astype(np.float32)
+    s = KNNScorer.fit(emb, k=10, max_bank=32, seed=7)
+    assert s.bank.shape == (32, 4)
+    # deterministic subsample
+    s2 = KNNScorer.fit(emb, k=10, max_bank=32, seed=7)
+    np.testing.assert_array_equal(np.asarray(s.bank), np.asarray(s2.bank))
+    # k never exceeds the bank size
+    tiny = KNNScorer.fit(emb[:3], k=10)
+    assert tiny.k == 3
+    assert np.asarray(tiny.score(emb[:5])).shape == (5,)
+
+
+def test_knn_scorer_jittable(rng):
+    import jax
+
+    emb = rng.normal(size=(64, 8)).astype(np.float32)
+    scorer = KNNScorer.fit(emb, k=5)
+    q = rng.normal(size=(9, 8)).astype(np.float32)
+    eager = np.asarray(scorer.score(q))
+    jitted = np.asarray(jax.jit(scorer.score)(q))
+    np.testing.assert_allclose(eager, jitted, atol=1e-6)
+
+
+def test_rmd_scorer_separates_and_cancels_background(rng):
+    d, n = 8, 400
+    # two ID classes; a shared high-variance nuisance direction (dim 0)
+    nuisance = rng.normal(0, 8, size=(2 * n, 1))
+    base = np.concatenate(
+        [rng.normal(0, 1, size=(n, d - 1)), rng.normal(5, 1, size=(n, d - 1))]
+    )
+    id_emb = np.concatenate([nuisance, base], axis=1).astype(np.float32)
+    labels = np.concatenate([np.zeros(n, int), np.ones(n, int)])
+    scorer = RelativeMahalanobisScorer.fit(id_emb, labels, 2)
+    # true OOD: off-manifold in the class-discriminative dims
+    ood = np.concatenate(
+        [rng.normal(0, 8, size=(50, 1)), rng.normal(15, 1, size=(50, d - 1))], axis=1
+    ).astype(np.float32)
+    # ID points that are merely extreme along the nuisance dim
+    id_extreme = id_emb[:50].copy()
+    id_extreme[:, 0] = 30.0
+    s_id = np.asarray(scorer.score(id_emb))
+    s_ood = np.asarray(scorer.score(ood))
+    s_ext = np.asarray(scorer.score(id_extreme))
+    assert np.median(s_ood) > np.percentile(s_id, 99)
+    # the background term keeps nuisance-extreme ID points below true OOD
+    assert np.median(s_ext) < np.median(s_ood)
+
+
+def test_compute_ood_scores_knn_rmd_keys(rng):
+    logits = rng.normal(size=(10, 4)).astype(np.float32)
+    emb = rng.normal(size=(40, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, 40)
+    out = compute_ood_scores(
+        logits,
+        emb[:10],
+        mahalanobis=MahalanobisScorer.fit(emb, labels, 4),
+        knn=KNNScorer.fit(emb, k=3),
+        rmd=RelativeMahalanobisScorer.fit(emb, labels, 4),
+        scores=["msp", "energy", "mahalanobis", "knn", "rmd"],
+    )
+    assert set(out) == {"msp", "energy", "mahalanobis", "knn", "rmd"}
     for v in out.values():
         assert v.shape == (10,)
 

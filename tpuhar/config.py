@@ -311,8 +311,11 @@ class OODConfig:
     """Out-of-distribution scoring (north-star; absent from the reference code)."""
 
     enabled: bool = True
+    # Any of: msp, energy (logit-space); mahalanobis, rmd (relative Mahalanobis),
+    # knn (deep nearest-neighbor) (embedding-space, fitted on ID-train embeddings).
     scores: List[str] = field(default_factory=lambda: ["msp", "energy", "mahalanobis"])
     energy_temperature: float = 1.0
+    knn_k: int = 10  # k-th neighbor distance for the "knn" score
     # Leave-one-activity-out protocol: each listed class index is held out as OOD in
     # turn; empty list means "every class in turn".
     leave_out_classes: List[int] = field(default_factory=list)

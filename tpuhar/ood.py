@@ -74,15 +74,101 @@ class MahalanobisScorer:
         return jnp.min(md, axis=-1)
 
 
+@dataclass
+class RelativeMahalanobisScorer:
+    """Relative Mahalanobis distance (Ren et al. 2021): class-conditional distance
+    minus the distance under a single class-agnostic background Gaussian.
+
+    Subtracting the background term cancels directions that are merely high-variance
+    across ALL of the ID data (where raw Mahalanobis mistakes "unusual but
+    in-manifold" for OOD), keeping only class-discriminative deviation.  Higher =
+    more OOD.  Pure einsum/matmul — jittable, MXU-friendly.
+    """
+
+    means: jax.Array  # (C, D)
+    precision: jax.Array  # (D, D)
+    mean0: jax.Array  # (D,)
+    precision0: jax.Array  # (D, D)
+
+    @classmethod
+    def fit(
+        cls, embeddings, labels, num_classes: int, eps: float = 1e-3
+    ) -> "RelativeMahalanobisScorer":
+        base = MahalanobisScorer.fit(embeddings, labels, num_classes, eps=eps)
+        x = jnp.asarray(embeddings, jnp.float32)
+        D = x.shape[-1]
+        mean0 = x.mean(0)
+        c0 = x - mean0
+        cov0 = (c0.T @ c0) / jnp.maximum(x.shape[0], 1)
+        cov0 = cov0 + eps * jnp.trace(cov0) / D * jnp.eye(D) + 1e-6 * jnp.eye(D)
+        return cls(
+            means=base.means,
+            precision=base.precision,
+            mean0=mean0,
+            precision0=jnp.linalg.inv(cov0),
+        )
+
+    def score(self, embeddings) -> jax.Array:
+        x = jnp.asarray(embeddings, jnp.float32)
+        diff = x[:, None, :] - self.means[None, :, :]  # (N, C, D)
+        md = jnp.einsum("ncd,de,nce->nc", diff, self.precision, diff)
+        d0 = x - self.mean0[None, :]
+        md0 = jnp.einsum("nd,de,ne->n", d0, self.precision0, d0)
+        return jnp.min(md, axis=-1) - md0
+
+
+@dataclass
+class KNNScorer:
+    """Deep nearest-neighbor OOD score (Sun et al., ICML 2022): distance from the
+    L2-normalized test embedding to its k-th nearest neighbor in an L2-normalized
+    bank of ID-train embeddings.  Non-parametric — no Gaussian assumption, which is
+    exactly what fails for msp/energy on hard fixtures.
+
+    TPU mapping: the (M, N) cosine-similarity matrix is ONE matmul on the MXU and
+    ``lax.top_k`` runs on-device; for unit vectors ``d² = 2 − 2·sim`` so no explicit
+    pairwise-difference tensor is ever materialized.
+    """
+
+    bank: jax.Array  # (N, D) L2-normalized ID-train embeddings
+    k: int = 10
+
+    @classmethod
+    def fit(
+        cls, embeddings, k: int = 10, max_bank: int = 20000, seed: int = 0
+    ) -> "KNNScorer":
+        x = np.asarray(embeddings, np.float32)
+        if x.shape[0] > max_bank:  # bound the bank: one matmul row per test point
+            idx = np.random.default_rng(seed).choice(
+                x.shape[0], size=max_bank, replace=False
+            )
+            x = x[np.sort(idx)]
+        xb = jnp.asarray(x)
+        xb = xb / jnp.maximum(jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-12)
+        return cls(bank=xb, k=min(int(k), x.shape[0]))
+
+    def score(self, embeddings) -> jax.Array:
+        z = jnp.asarray(embeddings, jnp.float32)
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+        sims = z @ self.bank.T  # (M, N) — MXU
+        kth = jax.lax.top_k(sims, self.k)[0][:, -1]
+        return jnp.sqrt(jnp.maximum(2.0 - 2.0 * kth, 0.0))
+
+
 def compute_ood_scores(
     logits,
     embeddings=None,
     *,
     mahalanobis: Optional[MahalanobisScorer] = None,
+    knn: Optional[KNNScorer] = None,
+    rmd: Optional[RelativeMahalanobisScorer] = None,
     energy_temperature: float = 1.0,
     scores: Optional[List[str]] = None,
 ) -> Dict[str, np.ndarray]:
-    """All requested OOD scores for a batch of predictions."""
+    """All requested OOD scores for a batch of predictions.
+
+    Supported names: ``msp``/``energy`` (logit-space), ``mahalanobis``/``rmd``/
+    ``knn`` (embedding-space; require a fitted scorer + embeddings).
+    """
     scores = scores or ["msp", "energy", "mahalanobis"]
     out: Dict[str, np.ndarray] = {}
     if "msp" in scores:
@@ -93,6 +179,10 @@ def compute_ood_scores(
         )
     if "mahalanobis" in scores and mahalanobis is not None and embeddings is not None:
         out["mahalanobis"] = np.asarray(mahalanobis.score(embeddings))
+    if "knn" in scores and knn is not None and embeddings is not None:
+        out["knn"] = np.asarray(knn.score(embeddings))
+    if "rmd" in scores and rmd is not None and embeddings is not None:
+        out["rmd"] = np.asarray(rmd.score(embeddings))
     return out
 
 
@@ -230,17 +320,25 @@ class OODEvaluator:
                 BatchLoader(id_train, loo_cfg, mode=loader_mode, prefetch=0)
             )
 
-            maha = None
+            maha = knn = rmd = None
             if "mahalanobis" in score_names:
                 maha = MahalanobisScorer.fit(
                     tr_out["embeddings"], tr_out["labels"], loo_cfg.model.num_classes
                 )
+            if "knn" in score_names:
+                knn = KNNScorer.fit(tr_out["embeddings"], k=cfg.ood.knn_k)
+            if "rmd" in score_names:
+                rmd = RelativeMahalanobisScorer.fit(
+                    tr_out["embeddings"], tr_out["labels"], loo_cfg.model.num_classes
+                )
             id_scores = compute_ood_scores(
                 id_out["logits"], id_out["embeddings"], mahalanobis=maha,
+                knn=knn, rmd=rmd,
                 energy_temperature=cfg.ood.energy_temperature, scores=score_names,
             )
             ood_scores = compute_ood_scores(
                 ood_out["logits"], ood_out["embeddings"], mahalanobis=maha,
+                knn=knn, rmd=rmd,
                 energy_temperature=cfg.ood.energy_temperature, scores=score_names,
             )
 

@@ -53,6 +53,7 @@ class InferenceEngine:
         batch_sizes: Optional[List[int]] = None,
         mesh=None,
         mahalanobis: Optional[MahalanobisScorer] = None,
+        extra_scorers: Optional[Dict] = None,
         fold_normalize: bool = True,
         quantize_calib_clips=None,
         quantize_calib_imu=None,
@@ -68,7 +69,13 @@ class InferenceEngine:
         ``serving_quant.fit_logit_recalibration``).  ``quantize_calib_imu``
         optionally pairs ``(Ncal, window, channels)`` raw IMU counts with the clips
         for that fit (surrogate noise otherwise — the logit drift originates in the
-        video tower, so any shared IMU input exposes it)."""
+        video tower, so any shared IMU input exposes it).
+
+        ``extra_scorers``: optional ``{name: scorer}`` of additional fitted
+        embedding-space OOD scorers (``tpuhar.ood.KNNScorer`` /
+        ``RelativeMahalanobisScorer`` — anything with a jittable
+        ``.score(embeddings)``); each adds one fused op to the serving program and
+        one ``name`` key to ``predict``'s output."""
         if quantize_calib_clips is not None and imu_only:
             raise ValueError(
                 "quantize_calib_clips requests the int8 video tower, which does not "
@@ -84,6 +91,7 @@ class InferenceEngine:
         self.batch_sizes = sorted(batch_sizes or [256])
         self.mesh = mesh
         self.mahalanobis = mahalanobis
+        self.extra_scorers = dict(extra_scorers or {})
         self.profiler = StepProfiler()
         self.quantized = quantize_calib_clips is not None
 
@@ -101,12 +109,15 @@ class InferenceEngine:
                 ),
             )
             maha = self.mahalanobis
+            extras = self.extra_scorers
 
             def forward(imu_raw, video_u8=None):
                 out = qforward(imu_raw, video_u8)
                 out["preds"] = jnp.argmax(out["logits"], axis=-1)
                 if maha is not None:
                     out["mahalanobis"] = maha.score(out["embeddings"])
+                for name, scorer in extras.items():
+                    out[name] = scorer.score(out["embeddings"])
                 return out
 
             self.folded = False
@@ -155,6 +166,8 @@ class InferenceEngine:
             }
             if self.mahalanobis is not None:
                 out["mahalanobis"] = self.mahalanobis.score(emb)
+            for name, scorer in self.extra_scorers.items():
+                out[name] = scorer.score(emb)
             return out
 
         if mesh is not None:
