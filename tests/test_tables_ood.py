@@ -206,6 +206,17 @@ def test_compute_ood_scores_knn_rmd_keys(rng):
         assert v.shape == (10,)
 
 
+def test_unknown_score_name_raises():
+    from tpuhar.config import Config
+    from tpuhar.ood import OODEvaluator
+
+    cfg = Config()
+    cfg.ood.scores = ["msp", "mahalanobiss"]  # typo must fail loudly, not drop a column
+    df = pd.DataFrame({"label": [0, 1]})
+    with pytest.raises(ValueError, match="mahalanobiss"):
+        OODEvaluator(cfg).run_loo_experiments(df, df, df, classes=[0])
+
+
 def test_fpr_at_tpr():
     # perfectly separated → FPR 0
     scores = np.concatenate([np.zeros(100), np.ones(100)])

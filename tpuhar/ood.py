@@ -268,6 +268,10 @@ class OODEvaluator:
             train_df["label"].unique()
         )
         score_names = list(cfg.ood.scores)
+        known = {"msp", "energy", "mahalanobis", "knn", "rmd"}
+        unknown = set(score_names) - known
+        if unknown:  # fail loudly: a typo here would silently drop a score column
+            raise ValueError(f"Unknown ood.scores {sorted(unknown)}; known: {sorted(known)}")
         rows = []
 
         for c in classes:
