@@ -106,6 +106,35 @@ def test_extra_scorers_in_serving_program(rng):
     assert (out["knn"] >= 0).all()
 
 
+def test_calibration_temperature_in_serving(rng):
+    from tpuhar.ood import energy_score, msp_score
+
+    cfg = _cfg()
+    model = FusionClassifier(cfg)
+    imu0 = jnp.zeros((2, 6, 250))
+    video0 = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(KEY, imu0, video0)
+    imu = rng.normal(0, 8000, size=(4, 250, 6)).astype(np.float32)
+    video = (rng.random((4, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    base = InferenceEngine(cfg, variables, batch_sizes=[4]).predict(imu, video)
+    t = 2.5
+    out = InferenceEngine(cfg, variables, batch_sizes=[4], temperature=t).predict(
+        imu, video
+    )
+    # logits/preds untouched; msp/energy computed on logits/T
+    np.testing.assert_allclose(out["logits"], base["logits"], atol=1e-6)
+    np.testing.assert_array_equal(out["preds"], base["preds"])
+    np.testing.assert_allclose(
+        out["msp"], np.asarray(msp_score(jnp.asarray(base["logits"]) / t)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["energy"],
+        np.asarray(energy_score(jnp.asarray(base["logits"]) / t,
+                                cfg.ood.energy_temperature)),
+        atol=1e-5,
+    )
+
+
 def test_mesh_sharded_engine(rng):
     cfg = _cfg()
     mesh = create_mesh(model_axis_size=1)  # 8-way data parallel

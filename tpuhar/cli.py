@@ -158,8 +158,27 @@ class Pipeline:
             best = trainer.save_dir / "best_model"
             if ckpt.checkpoint_exists(best):
                 task.state, _ = ckpt.restore_checkpoint(best, task.state)
-            result = Evaluator(task, cfg).evaluate(loaders["test"])
-            comparison[mode] = result["metrics"]
+            evaluator = Evaluator(task, cfg)
+            result = evaluator.evaluate(loaders["test"])
+            # fit the calibration temperature on the HELD-OUT val split (never
+            # test) and report test-set ECE after scaling alongside the raw ECE —
+            # the fitted T is what deployments pass to InferenceEngine(temperature=)
+            from .eval.calibration import (
+                apply_temperature, expected_calibration_error, fit_temperature,
+            )
+            _, val_labels, val_logits, _ = evaluator.predict(loaders["val"])
+            temp = fit_temperature(val_logits, val_labels)
+            scaled = expected_calibration_error(
+                np.asarray(apply_temperature(result["logits"], temp)),
+                result["labels"],
+            )
+            comparison[mode] = {
+                **result["metrics"],
+                # confidence calibration (eval/calibration.py) — cal_ece/cal_mce/...
+                **{f"cal_{k}": v for k, v in result["calibration"].items()},
+                "cal_temperature": temp,
+                "cal_ece_scaled": scaled["ece"],
+            }
             print(
                 f"[Classify:{mode}] test bal_acc="
                 f"{result['metrics']['balanced_accuracy']:.2f}"

@@ -75,12 +75,18 @@ class Evaluator:
 
     def evaluate(self, loader) -> Dict:
         preds, labels, logits, embs = self.predict(loader)
+        from .calibration import expected_calibration_error
+
         return {
             "metrics": self.compute_metrics(labels, preds),
             "predictions": preds,
             "labels": labels,
             "logits": logits,
             "embeddings": embs,
+            # beyond-reference: confidence calibration of the logits (msp/energy OOD
+            # thresholds and abstention rules read softmax margins; see
+            # eval/calibration.py for the temperature-scaling fix)
+            "calibration": expected_calibration_error(logits, labels),
         }
 
     def generate_classification_report(self, y_true, y_pred, class_names=None):

@@ -54,6 +54,7 @@ class InferenceEngine:
         mesh=None,
         mahalanobis: Optional[MahalanobisScorer] = None,
         extra_scorers: Optional[Dict] = None,
+        temperature: float = 1.0,
         fold_normalize: bool = True,
         quantize_calib_clips=None,
         quantize_calib_imu=None,
@@ -75,7 +76,13 @@ class InferenceEngine:
         embedding-space OOD scorers (``tpuhar.ood.KNNScorer`` /
         ``RelativeMahalanobisScorer`` — anything with a jittable
         ``.score(embeddings)``); each adds one fused op to the serving program and
-        one ``name`` key to ``predict``'s output."""
+        one ``name`` key to ``predict``'s output.
+
+        ``temperature``: calibration temperature (``eval.calibration.fit_temperature``
+        on a held-out split) dividing the logits before msp/energy — argmax-preserving,
+        so ``preds`` and the raw ``logits`` output are untouched.  Composes with (and
+        is distinct from) ``config.ood.energy_temperature``, the energy score's own
+        ``T·logsumexp(l/T)`` parameter."""
         if quantize_calib_clips is not None and imu_only:
             raise ValueError(
                 "quantize_calib_clips requests the int8 video tower, which does not "
@@ -92,6 +99,7 @@ class InferenceEngine:
         self.mesh = mesh
         self.mahalanobis = mahalanobis
         self.extra_scorers = dict(extra_scorers or {})
+        self.temperature = float(temperature)
         self.profiler = StepProfiler()
         self.quantized = quantize_calib_clips is not None
 
@@ -110,10 +118,16 @@ class InferenceEngine:
             )
             maha = self.mahalanobis
             extras = self.extra_scorers
+            temp = self.temperature
 
             def forward(imu_raw, video_u8=None):
                 out = qforward(imu_raw, video_u8)
                 out["preds"] = jnp.argmax(out["logits"], axis=-1)
+                if temp != 1.0:  # calibration T on top of the int8 recalibrated logits
+                    out["msp"] = msp_score(out["logits"] / temp)
+                    out["energy"] = energy_score(
+                        out["logits"] / temp, config.ood.energy_temperature
+                    )
                 if maha is not None:
                     out["mahalanobis"] = maha.score(out["embeddings"])
                 for name, scorer in extras.items():
@@ -157,11 +171,12 @@ class InferenceEngine:
                     else normalize_clip(video_u8)
                 )
                 logits, emb = model.apply(variables, imu, video, train=False)
+            scaled = logits / self.temperature if self.temperature != 1.0 else logits
             out = {
                 "logits": logits,
                 "preds": jnp.argmax(logits, axis=-1),
-                "msp": msp_score(logits),
-                "energy": energy_score(logits, config.ood.energy_temperature),
+                "msp": msp_score(scaled),
+                "energy": energy_score(scaled, config.ood.energy_temperature),
                 "embeddings": emb,
             }
             if self.mahalanobis is not None:
