@@ -14,6 +14,15 @@ The reference repo has no OOD code at all (SURVEY.md §7); msp/energy/mahalanobi
 are the north-star's named scores (BASELINE.md) and knn/rmd are the beyond-parity
 additions this validates.
 
+Also scores temperature-CALIBRATED msp/energy (``msp_cal``/``energy_cal``): the
+temperature is fitted by NLL on the held-out ID *val* split
+(``tpuhar.eval.calibration.fit_temperature`` — never test data) and applied as
+``logits/T`` before scoring, exactly what ``InferenceEngine(temperature=T)``
+serves.  Scaling by a shared T changes per-sample msp/energy *rankings*, so this
+measures whether deployment-grade calibration moves softmax-margin OOD quality
+on a fixture where those scores struggle; ID-test ECE before/after is reported
+alongside.
+
 Usage:
   python scripts/rescore_ood_hard.py [--root outputs/bench_accuracy_hard]
       [--towers tpu_cnn,resnet18,videomae_small] [--classes 0,2,4] [--tpu]
@@ -56,6 +65,7 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+    import jax.numpy as jnp
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
@@ -79,12 +89,16 @@ def main():
     from tpuhar.train import checkpoint as ckpt
     from tpuhar.train.factory import build_fusion_task
 
+    from tpuhar.eval.calibration import expected_calibration_error, fit_temperature
+    from tpuhar.ood import energy_score, msp_score
+
     root = Path(args.root)
     dfs = {
         split: pd.read_csv(root / "preprocessed" / f"{split}_metadata.csv")
-        for split in ("train", "test")
+        for split in ("train", "val", "test")
     }
     score_names = ["msp", "energy", "mahalanobis", "knn", "rmd"]
+    cal_names = ["msp_cal", "energy_cal"]
     classes = [int(x) for x in args.classes.split(",")]
 
     all_rows = []
@@ -106,6 +120,7 @@ def main():
                 continue
             t0 = time.perf_counter()
             id_train, _, remap = leave_one_out_split(dfs["train"], c)
+            id_val, _, _ = leave_one_out_split(dfs["val"], c, remap=remap)
             id_test, ood_test, _ = leave_one_out_split(dfs["test"], c, remap=remap)
 
             import copy
@@ -146,10 +161,12 @@ def main():
 
             if args.limit:
                 id_train = id_train.head(args.limit)
+                id_val = id_val.head(args.limit)
                 id_test = id_test.head(args.limit)
                 ood_test = ood_test.head(args.limit)
             tr_lg, tr_em, tr_y = score_split(id_train)
-            id_lg, id_em, _ = score_split(id_test)
+            val_lg, _, val_y = score_split(id_val)
+            id_lg, id_em, id_y = score_split(id_test)
             ood_lg, ood_em, _ = score_split(ood_test)
 
             scorers = dict(
@@ -169,8 +186,27 @@ def main():
                 rmd=scorers["rmd"],
                 energy_temperature=cfg.ood.energy_temperature,
             )
-            row = {"tower": tower, "held_out_class": c}
-            for name in score_names:
+            # calibrated msp/energy: T fitted by NLL on the ID val split served
+            # through the same forward — the InferenceEngine(temperature=T)
+            # semantics.  Pinned to CPU: tiny arrays, and eager TPU ops pay
+            # per-shape remote compiles (CLAUDE.md).
+            with jax.default_device(jax.devices("cpu")[0]):
+                temp = fit_temperature(val_lg, val_y)
+                et = cfg.ood.energy_temperature
+                id_s["msp_cal"] = np.asarray(msp_score(jnp.asarray(id_lg / temp)))
+                ood_s["msp_cal"] = np.asarray(msp_score(jnp.asarray(ood_lg / temp)))
+                id_s["energy_cal"] = np.asarray(
+                    energy_score(jnp.asarray(id_lg / temp), et))
+                ood_s["energy_cal"] = np.asarray(
+                    energy_score(jnp.asarray(ood_lg / temp), et))
+
+            row = {"tower": tower, "held_out_class": c,
+                   "temperature": round(float(temp), 3),
+                   "ece_id": round(
+                       expected_calibration_error(id_lg, id_y)["ece"], 4),
+                   "ece_id_cal": round(
+                       expected_calibration_error(id_lg / temp, id_y)["ece"], 4)}
+            for name in score_names + cal_names:
                 s = np.concatenate([id_s[name], ood_s[name]])
                 is_ood = np.concatenate(
                     [np.zeros(len(id_s[name])), np.ones(len(ood_s[name]))]
@@ -179,15 +215,18 @@ def main():
                 row[f"fpr95_{name}"] = round(float(fpr_at_tpr(s, is_ood)), 4)
             row["wall_s"] = round(time.perf_counter() - t0, 1)
             all_rows.append(row)
-            log(f"[{tower}] class {c}: "
-                + "  ".join(f"{n}={row[f'auroc_{n}']}" for n in score_names)
+            log(f"[{tower}] class {c}: T={row['temperature']} "
+                f"ece {row['ece_id']}→{row['ece_id_cal']}  "
+                + "  ".join(f"{n}={row[f'auroc_{n}']}"
+                            for n in score_names + cal_names)
                 + f"  ({row['wall_s']}s)")
 
     # per-tower means + markdown table
+    all_names = score_names + cal_names
     out = {"rows": all_rows, "knn_k": args.knn_k, "mean_by_tower": {}}
     lines = [
-        "| tower | " + " | ".join(f"AUROC {n}" for n in score_names) + " |",
-        "|---|" + "---|" * len(score_names),
+        "| tower | " + " | ".join(f"AUROC {n}" for n in all_names) + " |",
+        "|---|" + "---|" * len(all_names),
     ]
     for tower in args.towers.split(","):
         rows = [r for r in all_rows if r["tower"] == tower]
@@ -195,11 +234,11 @@ def main():
             continue
         means = {
             n: round(float(np.mean([r[f"auroc_{n}"] for r in rows])), 3)
-            for n in score_names
+            for n in all_names
         }
         out["mean_by_tower"][tower] = means
         lines.append(
-            f"| {tower} | " + " | ".join(str(means[n]) for n in score_names) + " |"
+            f"| {tower} | " + " | ".join(str(means[n]) for n in all_names) + " |"
         )
     md = "\n".join(lines)
     print(md)
