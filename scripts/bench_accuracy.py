@@ -67,6 +67,12 @@ def parse_args():
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--quick", action="store_true", help="tiny CPU smoke settings")
     p.add_argument("--skip-ood", action="store_true")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="reuse completed checkpoints (fusion_full / ood_loo_{c} dirs with a "
+        "training_history.json) instead of retraining — lets an interrupted run "
+        "finish only its missing LOO classes",
+    )
     return p.parse_args()
 
 
@@ -127,14 +133,22 @@ def run_backbone(args, cfg, backbone, dfs):
     result["params_m"] = round(n_params / 1e6, 2)
 
     t0 = time.perf_counter()
-    trainer = ClassificationTrainer(
-        cfg, task.state, task.train_step, task.eval_step,
-        Path(cfg.paths.checkpoints_dir) / "fusion_full", fit_rng, "finetune",
-    )
-    task.state = trainer.fit(loaders["train"], loaders["val"])
+    full_dir = Path(cfg.paths.checkpoints_dir) / "fusion_full"
+    if (
+        args.resume
+        and (full_dir / "training_history.json").exists()
+        and ckpt.checkpoint_exists(full_dir / "best_model")
+    ):
+        log(f"[{backbone}] reusing completed fusion_full checkpoint")
+    else:
+        trainer = ClassificationTrainer(
+            cfg, task.state, task.train_step, task.eval_step,
+            full_dir, fit_rng, "finetune",
+        )
+        task.state = trainer.fit(loaders["train"], loaders["val"])
     result["train_wall_s"] = round(time.perf_counter() - t0, 1)
 
-    best = trainer.save_dir / "best_model"
+    best = full_dir / "best_model"
     if ckpt.checkpoint_exists(best):
         task.state, _ = ckpt.restore_checkpoint(best, task.state)
     test_out = Evaluator(task, cfg).evaluate(loaders["test"])
@@ -150,7 +164,8 @@ def run_backbone(args, cfg, backbone, dfs):
         t0 = time.perf_counter()
         loo_cfg = copy.deepcopy(cfg)
         ood_df = OODEvaluator(loo_cfg, jax.random.PRNGKey(args.seed + 1)).run_loo_experiments(
-            train_df, val_df, test_df, model_kind="fusion"
+            train_df, val_df, test_df, model_kind="fusion",
+            reuse_checkpoints=args.resume,
         )
         result["ood_wall_s"] = round(time.perf_counter() - t0, 1)
         ood_df.to_csv(Path(cfg.paths.results_dir) / "ood_fusion_results.csv", index=False)

@@ -92,12 +92,16 @@ def test_full_pipeline(pipeline):
     assert "few_shot" in report
     assert (results_dir / "table3_fewshot.csv").exists()
 
-    # serve: the RAW test split streamed through the finetuned IMU classifier
-    served = pipeline.run_serving(split="test", batch_size=8)
+    # serve: the RAW test split streamed through the finetuned IMU classifier,
+    # with OOD decision thresholds calibrated on the val split (id_fpr=0.25)
+    served = pipeline.run_serving(split="test", batch_size=8, ood_id_fpr=0.25)
     assert (results_dir / "serving_predictions_test.csv").exists()
     assert len(served) == len(dfs["test"])
-    assert set(served.columns) == {"label", "pred", "msp", "energy"}
+    assert set(served.columns) == {
+        "label", "pred", "msp", "energy", "is_ood_msp", "is_ood_energy",
+    }
     assert served["pred"].between(0, cfg.model.num_classes - 1).all()
+    assert served["is_ood_msp"].dtype == bool
 
 
 def test_run_all_skips_existing(pipeline, capsys):

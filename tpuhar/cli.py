@@ -293,6 +293,7 @@ class Pipeline:
         imu_only: bool = True,
         int8: bool = False,
         batch_size: int = 64,
+        ood_id_fpr: Optional[float] = None,
     ) -> pd.DataFrame:
         """Serve the RAW dataset split through ``InferenceEngine.predict_stream``.
 
@@ -337,6 +338,26 @@ class Pipeline:
             cfg, checkpoint, imu_only=imu_only,
             batch_sizes=[batch_size], mesh=self.mesh, **kw,
         )
+        if ood_id_fpr is not None:
+            # Fit per-score OOD decision thresholds on ID traffic (the val split)
+            # served through THIS engine's exact program — the thresholds then
+            # survive quantization/temperature because they move with the served
+            # score distribution (ood.fit_ood_thresholds).
+            val_df = self._metadata("val").head(8 * batch_size)
+            calib_imu, calib_video = [], []
+            for batch in raw_serving_stream(
+                cfg, val_df, batch_size=batch_size, with_video=not imu_only
+            ):  # yields (imu,) or (imu, video) tuples
+                calib_imu.append(batch[0])
+                if not imu_only:
+                    calib_video.append(batch[1])
+            thresholds = engine.calibrate_ood_thresholds(
+                np.concatenate(calib_imu),
+                np.concatenate(calib_video) if calib_video else None,
+                id_fpr=float(ood_id_fpr),
+            )
+            print(f"[Serve] OOD thresholds @ id_fpr={ood_id_fpr}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in thresholds.items()))
         stream = raw_serving_stream(
             cfg, df, batch_size=batch_size, with_video=not imu_only
         )
@@ -345,17 +366,20 @@ class Pipeline:
         for out in engine.predict_stream(stream):
             n = len(out["preds"])
             for j in range(n):
-                rows.append(
-                    {
-                        "pred": int(out["preds"][j]),
-                        "msp": float(out["msp"][j]),
-                        "energy": float(out["energy"][j]),
-                    }
-                )
+                row = {
+                    "pred": int(out["preds"][j]),
+                    "msp": float(out["msp"][j]),
+                    "energy": float(out["energy"][j]),
+                }
+                for k in out:  # calibrated decision flags, when thresholds are set
+                    if k.startswith("is_ood_"):
+                        row[k] = bool(out[k][j])
+                rows.append(row)
             served += n
         wall = time.perf_counter() - t0
         result = df.reset_index(drop=True).loc[: served - 1, ["label"]].copy()
-        result[["pred", "msp", "energy"]] = pd.DataFrame(rows)
+        pred_df = pd.DataFrame(rows)
+        result[pred_df.columns] = pred_df
         out_path = Path(cfg.paths.results_dir) / f"serving_predictions_{split}.csv"
         result.to_csv(out_path, index=False)
         acc = float((result["pred"] == result["label"]).mean()) * 100
@@ -462,6 +486,12 @@ def main(argv=None):
     )
     parser.add_argument("--serve-batch", type=int, default=64)
     parser.add_argument(
+        "--serve-ood-fpr", type=float, default=None,
+        help="calibrate per-score OOD decision thresholds on the val split at this "
+        "target ID false-positive rate (e.g. 0.05); adds is_ood_* columns to the "
+        "serving CSV",
+    )
+    parser.add_argument(
         "--classify-mode",
         choices=["linear_probe", "finetune", "both"],
         default="both",
@@ -505,6 +535,7 @@ def main(argv=None):
             imu_only=not args.serve_fusion,
             int8=args.serve_int8,
             batch_size=args.serve_batch,
+            ood_id_fpr=args.serve_ood_fpr,
         )
     else:
         pipeline.run_all(args.classify_mode, resume=args.resume)

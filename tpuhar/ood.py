@@ -186,6 +186,29 @@ def compute_ood_scores(
     return out
 
 
+def fit_ood_thresholds(
+    id_scores: Dict[str, np.ndarray], id_fpr: float = 0.05
+) -> Dict[str, float]:
+    """Per-score decision thresholds from ID-only calibration data.
+
+    Deployments rarely have OOD samples to tune against; what they can control is
+    the false-positive rate on in-distribution traffic.  For each score (higher =
+    more OOD) the threshold is the ``1 - id_fpr`` quantile of the ID calibration
+    scores, so flagging ``score >= threshold`` rejects ~``id_fpr`` of ID inputs and
+    as much OOD as the score's separation allows (the standard ID-percentile refit;
+    pairs with ``fpr_at_tpr`` which evaluates the opposite sweep).
+
+    Returns ``{score_name: threshold}`` — feed to
+    ``InferenceEngine.calibrate_ood_thresholds`` / compare manually.
+    """
+    if not 0.0 < id_fpr < 1.0:
+        raise ValueError(f"id_fpr must be in (0, 1), got {id_fpr}")
+    return {
+        name: float(np.quantile(np.asarray(s, np.float64), 1.0 - id_fpr))
+        for name, s in id_scores.items()
+    }
+
+
 def fpr_at_tpr(ood_scores, is_ood, tpr: float = 0.95) -> float:
     """False-positive rate at the threshold achieving ``tpr`` true-positive rate
     (OOD = positive).  Standard OOD benchmark companion to AUROC."""
@@ -249,11 +272,18 @@ class OODEvaluator:
         encoder_params=None,
         verbose: bool = True,
         model_kind: str = "imu",
+        reuse_checkpoints: bool = False,
     ) -> pd.DataFrame:
         """``model_kind``: "imu" (reference behavior — IMU classifier per held-out
         class) or "fusion" (north-star FusionClassifier on IMU+video windows; OOD
         scores come from the fused embedding, so the video tower's representation
-        quality shows up in AUROC)."""
+        quality shows up in AUROC).
+
+        ``reuse_checkpoints``: resume an interrupted LOO sweep — a class whose
+        ``ood_loo_{c}`` checkpoint dir contains ``training_history.json`` (written
+        only when ``fit`` runs to completion) is scored from its saved weights
+        instead of retrained; the ``last`` checkpoint is preferred so the scores
+        match what an uninterrupted run would have produced from the final state."""
         from .data.loader import BatchLoader
         from .eval.evaluator import Evaluator
         from .train.factory import build_classification_task, build_fusion_task
@@ -300,18 +330,32 @@ class OODEvaluator:
                     loo_cfg, spe, init_rng,
                     encoder_params=encoder_params, batch_size=bs,
                 )
-            trainer = ClassificationTrainer(
-                loo_cfg, task.state, task.train_step, task.eval_step,
-                Path(loo_cfg.paths.checkpoints_dir) / f"ood_loo_{c}", fit_rng, "finetune",
-            )
-            trainer.verbose = False
-            task.state = trainer.fit(
-                BatchLoader(
-                    id_train, loo_cfg, mode=loader_mode, batch_size=bs,
-                    shuffle=True, drop_last=True, seed=int(c), prefetch=0,
-                ),
-                BatchLoader(id_val, loo_cfg, mode=loader_mode, prefetch=0),
-            )
+            from .train import checkpoint as _ckpt
+
+            save_dir = Path(loo_cfg.paths.checkpoints_dir) / f"ood_loo_{c}"
+            reusable = None
+            if reuse_checkpoints and (save_dir / "training_history.json").exists():
+                for name in ("last", "best_model"):
+                    if _ckpt.checkpoint_exists(save_dir / name):
+                        reusable = save_dir / name
+                        break
+            if reusable is not None:
+                if verbose:
+                    print(f"[OOD] class {c}: reusing completed checkpoint {reusable}")
+                task.state, _ = _ckpt.restore_checkpoint(reusable, task.state)
+            else:
+                trainer = ClassificationTrainer(
+                    loo_cfg, task.state, task.train_step, task.eval_step,
+                    save_dir, fit_rng, "finetune",
+                )
+                trainer.verbose = False
+                task.state = trainer.fit(
+                    BatchLoader(
+                        id_train, loo_cfg, mode=loader_mode, batch_size=bs,
+                        shuffle=True, drop_last=True, seed=int(c), prefetch=0,
+                    ),
+                    BatchLoader(id_val, loo_cfg, mode=loader_mode, prefetch=0),
+                )
 
             ev = Evaluator(task, loo_cfg)
             id_out = ev.evaluate(

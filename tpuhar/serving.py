@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.crossmodal import FusionClassifier, IMUClassifier
-from .ood import MahalanobisScorer, energy_score, msp_score
+from .ood import MahalanobisScorer, energy_score, fit_ood_thresholds, msp_score
 from .ops.fused_window import featurize_windows_auto
 from .ops.video import normalize_clip
 from .utils.profiling import StepProfiler
@@ -102,6 +102,9 @@ class InferenceEngine:
         self.temperature = float(temperature)
         self.profiler = StepProfiler()
         self.quantized = quantize_calib_clips is not None
+        # {score_name: threshold} from calibrate_ood_thresholds(); when set, predict
+        # and predict_stream add boolean ``is_ood_{name}`` outputs.
+        self.ood_thresholds: Optional[Dict[str, float]] = None
 
         model = IMUClassifier(config) if imu_only else FusionClassifier(config)
         d = config.data
@@ -241,6 +244,37 @@ class InferenceEngine:
             )
             jax.block_until_ready(self._fn(*args))
 
+    def calibrate_ood_thresholds(
+        self, imu_raw, video_u8=None, *, id_fpr: float = 0.05
+    ) -> Dict[str, float]:
+        """Fit per-score OOD decision thresholds on ID calibration inputs.
+
+        Serves the calibration batch through THIS engine's exact program (bf16 or
+        int8, folded or not, temperature-scaled or not — whatever this deployment
+        runs) and sets the ``1 - id_fpr`` ID-quantile threshold per OOD score
+        (``tpuhar.ood.fit_ood_thresholds``).  Afterwards ``predict`` /
+        ``predict_stream`` emit boolean ``is_ood_{score}`` columns alongside the raw
+        scores.  Fitting on the served program is what makes the thresholds survive
+        quantization: the int8 logit drift that moves msp/energy distributions
+        (docs/int8_ood_parity.json) moves these quantiles with it.
+        """
+        out = self.predict(np.asarray(imu_raw), video_u8)
+        self.ood_thresholds = fit_ood_thresholds(
+            {name: out[name] for name in self._ood_score_names(out)}, id_fpr=id_fpr
+        )
+        return dict(self.ood_thresholds)
+
+    def _ood_score_names(self, out: Dict) -> List[str]:
+        fixed = [k for k in ("msp", "energy", "mahalanobis") if k in out]
+        return fixed + [k for k in self.extra_scorers if k in out]
+
+    def _flag_ood(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.ood_thresholds:
+            for name, thr in self.ood_thresholds.items():
+                if name in out:
+                    out[f"is_ood_{name}"] = np.asarray(out[name]) >= thr
+        return out
+
     def predict(self, imu_raw, video_u8=None) -> Dict[str, np.ndarray]:
         n = imu_raw.shape[0]
         b = self._padded_size(n)
@@ -259,7 +293,7 @@ class InferenceEngine:
         out = self._fn(*args)
         out = jax.device_get(out)
         self.profiler.stop()
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        return self._flag_ood({k: np.asarray(v)[:n] for k, v in out.items()})
 
     def predict_stream(self, batches, *, depth: int = 2):
         """Serve an iterable of batches with upload/compute/readback overlap.
@@ -340,7 +374,9 @@ class InferenceEngine:
                     continue
                 out, n = inflight.popleft()
                 out = jax.device_get(out)
-                yield {k: np.asarray(v)[:n] for k, v in out.items()}
+                yield self._flag_ood(
+                    {k: np.asarray(v)[:n] for k, v in out.items()}
+                )
 
     def latency_summary(self) -> Dict[str, float]:
         return self.profiler.summary()
