@@ -317,6 +317,10 @@ def test_engine_ood_threshold_calibration(rng):
     stream_out = next(iter(engine.predict_stream([(imu[:8], video[:8])])))
     assert "is_ood_msp" in stream_out and stream_out["is_ood_msp"].shape == (8,)
 
-    # shifted traffic (gross sensor-scale change) should trip the flags more often
-    far = engine.predict(imu * 50.0 + 3e5, video)
-    assert far["is_ood_msp"].mean() >= out["is_ood_msp"].mean()
+    # threshold semantics are deterministic: -inf flags everything, +inf nothing
+    # (a distribution-shift check is NOT valid here — the engine z-scores IMU per
+    # window, so affine sensor shifts are normalized away, and an untrained net's
+    # msp ordering is arbitrary)
+    engine.ood_thresholds = {"msp": -np.inf, "energy": np.inf}
+    forced = engine.predict(imu[:8], video[:8])
+    assert forced["is_ood_msp"].all() and not forced["is_ood_energy"].any()
