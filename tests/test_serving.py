@@ -324,3 +324,48 @@ def test_engine_ood_threshold_calibration(rng):
     engine.ood_thresholds = {"msp": -np.inf, "energy": np.inf}
     forced = engine.predict(imu[:8], video[:8])
     assert forced["is_ood_msp"].all() and not forced["is_ood_energy"].any()
+
+
+def test_fit_embedding_scorers_deployment_refit(rng):
+    """fit_embedding_scorers serves calibration data through the engine's own
+    program, fits embedding-space scorers on those embeddings, and returns a new
+    engine whose program emits the same scores a manual fit would produce (the
+    deployment-consistent refit protocol from scripts/validate_int8_ood.py as a
+    first-class API)."""
+    from tpuhar.ood import KNNScorer, MahalanobisScorer, RelativeMahalanobisScorer
+
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)
+    imu = rng.normal(0, 8000, size=(16, 250, 6)).astype(np.float32)
+    video = (rng.random((16, 4, 32, 32, 3)) * 255).astype(np.uint8)
+    labels = rng.integers(0, 4, 16)
+
+    with pytest.raises(ValueError):
+        engine.fit_embedding_scorers(imu, video, scores=("bogus",))
+    with pytest.raises(ValueError):
+        engine.fit_embedding_scorers(imu, video, scores=("mahalanobis",))  # no labels
+
+    refit = engine.fit_embedding_scorers(
+        imu, video, labels, scores=("mahalanobis", "knn", "rmd"), knn_k=3
+    )
+    out = refit.predict(imu[:5], video[:5])
+    assert {"mahalanobis", "knn", "rmd"} <= set(out)
+
+    # manual fit on the same served embeddings must agree bit-for-bit in spirit
+    emb = engine.predict(imu, video)["embeddings"]
+    np.testing.assert_allclose(
+        out["mahalanobis"],
+        np.asarray(MahalanobisScorer.fit(emb, labels, 4).score(emb[:5])),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        out["knn"], np.asarray(KNNScorer.fit(emb, k=3).score(emb[:5])),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        out["rmd"],
+        np.asarray(RelativeMahalanobisScorer.fit(emb, labels, 4).score(emb[:5])),
+        rtol=2e-3, atol=5e-3,
+    )
+    # the original engine is untouched
+    assert "knn" not in engine.predict(imu[:5], video[:5])

@@ -63,8 +63,9 @@ class InferenceEngine:
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
         resnet18 backbones; measured 10,499 vs 7,310 inf/s on the flagship,
         docs/BENCHMARKS.md).  OOD scores under int8: Mahalanobis AUROC parity is
-        validated when the scorer is refitted on int8-path embeddings (pass a
-        ``mahalanobis`` fitted via this engine's own ``predict`` embeddings —
+        validated when the scorer is refitted on int8-path embeddings (use
+        ``fit_embedding_scorers`` — it serves the calibration data through this
+        engine's program and returns a new engine with the refit scorers installed,
         mirroring the zscore-scope caveat above); msp/energy are recalibrated
         automatically from the calibration clips (per-class affine logit map, see
         ``serving_quant.fit_logit_recalibration``).  ``quantize_calib_imu``
@@ -93,6 +94,16 @@ class InferenceEngine:
                 "quantize_calib_imu only pairs with quantize_calib_clips (it feeds "
                 "the int8 logit-recalibration fit)"
             )
+        # Stash ctor inputs so fit_embedding_scorers can rebuild this engine with
+        # scorers installed (they are baked into the jitted program as closure
+        # constants — installing after compilation requires a re-jit).
+        self._ctor = dict(
+            config=config, variables=variables, imu_only=imu_only,
+            batch_sizes=batch_sizes, mesh=mesh, temperature=temperature,
+            fold_normalize=fold_normalize,
+            quantize_calib_clips=quantize_calib_clips,
+            quantize_calib_imu=quantize_calib_imu,
+        )
         self.config = config
         self.imu_only = imu_only
         self.batch_sizes = sorted(batch_sizes or [256])
@@ -263,6 +274,59 @@ class InferenceEngine:
             {name: out[name] for name in self._ood_score_names(out)}, id_fpr=id_fpr
         )
         return dict(self.ood_thresholds)
+
+    def fit_embedding_scorers(
+        self,
+        imu_raw,
+        video_u8=None,
+        labels=None,
+        *,
+        scores=("mahalanobis",),
+        knn_k: int = 10,
+    ) -> "InferenceEngine":
+        """Deployment-consistent refit: fit embedding-space OOD scorers on ID
+        calibration data served through THIS engine's exact program, and return a
+        NEW engine with them installed in its serving program.
+
+        This is the protocol that makes embedding-space AUROC survive serving-path
+        changes (validated for int8 in ``scripts/validate_int8_ood.py``: Mahalanobis
+        parity holds when the scorer is fitted on int8-path embeddings, and breaks
+        when a f32-fitted scorer is reused).  ``scores`` ⊆ {"mahalanobis", "knn",
+        "rmd"}; ``labels`` (ID class per calibration row) is required for
+        mahalanobis/rmd.  A new engine is returned because scorers are closure
+        constants of the compiled program — the original engine is untouched (its
+        compiled executables stay valid).
+        """
+        from .ood import KNNScorer, RelativeMahalanobisScorer
+
+        unknown = set(scores) - {"mahalanobis", "knn", "rmd"}
+        if unknown:
+            raise ValueError(f"Unknown embedding scorers {sorted(unknown)}")
+        needs_labels = {"mahalanobis", "rmd"} & set(scores)
+        if needs_labels and labels is None:
+            raise ValueError(f"labels required to fit {sorted(needs_labels)}")
+
+        emb = self.predict(np.asarray(imu_raw), video_u8)["embeddings"]
+        num_classes = self.config.model.num_classes
+        maha = extras = None
+        if "mahalanobis" in scores:
+            maha = MahalanobisScorer.fit(emb, np.asarray(labels), num_classes)
+        extras = {}
+        if "knn" in scores:
+            extras["knn"] = KNNScorer.fit(emb, k=knn_k)
+        if "rmd" in scores:
+            extras["rmd"] = RelativeMahalanobisScorer.fit(
+                emb, np.asarray(labels), num_classes
+            )
+        return InferenceEngine(
+            self._ctor["config"], self._ctor["variables"],
+            imu_only=self._ctor["imu_only"], batch_sizes=self._ctor["batch_sizes"],
+            mesh=self._ctor["mesh"], mahalanobis=maha, extra_scorers=extras,
+            temperature=self._ctor["temperature"],
+            fold_normalize=self._ctor["fold_normalize"],
+            quantize_calib_clips=self._ctor["quantize_calib_clips"],
+            quantize_calib_imu=self._ctor["quantize_calib_imu"],
+        )
 
     def _ood_score_names(self, out: Dict) -> List[str]:
         fixed = [k for k in ("msp", "energy", "mahalanobis") if k in out]
