@@ -187,10 +187,15 @@ def main():
             a * tr_lg + b, tr_em, a * id_lg + b, id_em, a * ood_lg + b, ood_em,
         )
 
+        path_scores = {}
         for name, (tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em) in split_scores.items():
             # leave_one_out_split already remapped the label column
             tr_labels = np.asarray(id_train["label"], np.int32)
             maha = MahalanobisScorer.fit(tr_em, tr_labels, len(remap))
+            tr_s = compute_ood_scores(
+                tr_lg, tr_em, mahalanobis=maha,
+                energy_temperature=cfg.ood.energy_temperature,
+            )
             id_s = compute_ood_scores(
                 id_lg, id_em, mahalanobis=maha,
                 energy_temperature=cfg.ood.energy_temperature,
@@ -199,6 +204,7 @@ def main():
                 ood_lg, ood_em, mahalanobis=maha,
                 energy_temperature=cfg.ood.energy_temperature,
             )
+            path_scores[name] = (tr_s, id_s, ood_s)
             for s in id_s:
                 joined = np.concatenate([id_s[s], ood_s[s]])
                 is_ood = np.concatenate(
@@ -213,6 +219,30 @@ def main():
                 ),
                 2,
             )
+        # Threshold transfer (the deployment question behind
+        # InferenceEngine.calibrate_ood_thresholds): fit the 95% ID-quantile
+        # decision threshold per score on the f32 path's calibration (id-train)
+        # scores, then apply it to BOTH paths' held-out scores.  If the shipped
+        # int8 recalibration works, f32-fitted thresholds keep their ID FPR and
+        # OOD detection rate under int8r; the per-path refit row shows what a
+        # deployment that recalibrates thresholds on the int8 program gets.
+        from tpuhar.ood import fit_ood_thresholds
+
+        thr = fit_ood_thresholds(path_scores["f32"][0], id_fpr=0.05)
+        for s, t in thr.items():
+            entry = {}
+            for name in ("f32", "int8r"):
+                _, id_s, ood_s = path_scores[name]
+                entry[f"{name}_id_fpr"] = round(float((id_s[s] >= t).mean()), 4)
+                entry[f"{name}_ood_tpr"] = round(float((ood_s[s] >= t).mean()), 4)
+            t8 = fit_ood_thresholds(
+                {s: path_scores["int8r"][0][s]}, id_fpr=0.05
+            )[s]
+            tr8, id8, ood8 = path_scores["int8r"]
+            entry["int8r_refit_id_fpr"] = round(float((id8[s] >= t8).mean()), 4)
+            entry["int8r_refit_ood_tpr"] = round(float((ood8[s] >= t8).mean()), 4)
+            row[f"thrx_{s}"] = entry
+
         results.append(row)
         log(f"[class {c}] ({time.perf_counter() - t0:.0f}s) " + json.dumps(row))
         Path(args.out).write_text(json.dumps(results, indent=2))
