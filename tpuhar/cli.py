@@ -266,7 +266,9 @@ class Pipeline:
         print(f"\n{df}")
         return df
 
-    def run_ood(self) -> pd.DataFrame:
+    def run_ood(self, resume: bool = False) -> pd.DataFrame:
+        """``resume=True`` (CLI ``--resume``) reuses completed ``ood_loo_{c}``
+        checkpoints so an interrupted LOO sweep finishes only its missing classes."""
         print("\n=== Stage: OOD leave-one-activity-out ===")
         cfg = self.config
         train_df, val_df, test_df = (
@@ -277,6 +279,7 @@ class Pipeline:
         results = evaluator.run_loo_experiments(
             train_df, val_df, test_df, encoder_params=enc_params,
             model_kind=str(getattr(cfg.ood, "model_kind", "imu")),
+            reuse_checkpoints=resume,
         )
         results_dir = Path(cfg.paths.results_dir)
         results.to_csv(results_dir / "ood_results.csv", index=False)
@@ -410,7 +413,7 @@ class Pipeline:
         self.run_classification(classify_mode, resume=resume)
         self.run_evaluation()
         if cfg.ood.enabled:
-            self.run_ood()
+            self.run_ood(resume=resume)
         self.generate_final_report()
         print(f"[run_all] total {time.time() - t0:.0f}s")
 
@@ -525,7 +528,7 @@ def main(argv=None):
     elif args.mode == "ablate":
         pipeline.run_ablations()
     elif args.mode == "ood":
-        pipeline.run_ood()
+        pipeline.run_ood(resume=args.resume)
     elif args.mode == "report":
         pipeline.generate_final_report()
     elif args.mode == "serve":
