@@ -95,6 +95,10 @@ def main():
     model = None
     results = []
     for c in [int(x) for x in args.classes.split(",")]:
+        ckpt_path = root / args.tower / "checkpoints" / f"ood_loo_{c}" / "best_model"
+        if not ckpt_path.with_suffix(".msgpack").exists():
+            log(f"missing checkpoint {ckpt_path} — skipping class {c}")
+            continue
         t0 = time.perf_counter()
         id_train, _, remap = leave_one_out_split(dfs["train"], c)
         id_test, ood_test, _ = leave_one_out_split(dfs["test"], c, remap=remap)
