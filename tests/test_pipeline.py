@@ -205,3 +205,33 @@ def test_ood_fusion_model_kind(synthetic_config):
     assert len(ood) == len(cfg.ood.scores)
     assert ood["auroc"].notna().all()
     assert (ood["auroc"] <= 1.0).all() and (ood["auroc"] >= 0.0).all()
+
+
+def test_ood_loo_reuse_checkpoints(synthetic_config):
+    """reuse_checkpoints=True scores a completed ood_loo_{c} checkpoint instead of
+    retraining (the bench_accuracy --resume path): identical AUROC rows, and the
+    checkpoint files are not rewritten."""
+    from tpuhar.cli import Pipeline
+    from tpuhar.ood import OODEvaluator
+
+    cfg = _shrink(synthetic_config)
+    cfg.ood.leave_out_classes = [0]
+    cfg.training.train_epochs = 1
+
+    p = Pipeline(cfg)
+    dfs = p.run_preprocessing()
+    args = (dfs["train"], dfs["val"], dfs["test"])
+
+    first = OODEvaluator(cfg, jax.random.PRNGKey(7)).run_loo_experiments(*args)
+    ckpt_dir = Path(cfg.paths.checkpoints_dir) / "ood_loo_0"
+    assert (ckpt_dir / "training_history.json").exists()
+    mtime = (ckpt_dir / "last.msgpack").stat().st_mtime_ns
+
+    second = OODEvaluator(cfg, jax.random.PRNGKey(7)).run_loo_experiments(
+        *args, reuse_checkpoints=True
+    )
+    assert (ckpt_dir / "last.msgpack").stat().st_mtime_ns == mtime  # not retrained
+    pd.testing.assert_frame_equal(
+        first.sort_values("score").reset_index(drop=True),
+        second.sort_values("score").reset_index(drop=True),
+    )
