@@ -35,9 +35,49 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _gate_on_tunnel_health(probes: int = 8, interval_s: float = 120.0) -> None:
+    """Fail fast (and ride out short outages) when the axon TPU tunnel is dead.
+
+    A dead tunnel makes the first in-process `jax.devices()` block ~25 min in the
+    client reconnect loop before raising Unavailable (observed 2026-08-17).  Probe
+    device discovery in a *subprocess* with a short timeout instead: a live tunnel
+    answers in ~5 s, a dead one gets killed at the timeout and retried on an
+    interval, so a transient outage recovers and a hard one exits with a clear
+    message in bounded time instead of a silent half-hour hang.
+    Only engaged when the axon platform is configured; CPU runs skip it.
+    """
+    import os
+    import subprocess
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    cmd = [sys.executable, "-c", "import jax; assert jax.devices(); print('ok')"]
+    for i in range(1, probes + 1):
+        try:
+            subprocess.run(
+                cmd, check=True, timeout=150, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            log(f"tpu tunnel probe {i}/{probes} failed; retrying in {interval_s:.0f}s")
+            if i < probes:
+                time.sleep(interval_s)
+    log("tpu tunnel unreachable after all probes — aborting bench")
+    sys.exit(3)
+
+
 def main():
+    import os
+
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the site customization force-sets jax_platforms="axon,cpu" at interpreter
+        # start; an explicit CPU request via the env var must win or jax.devices()
+        # still dials the (possibly dead) tunnel.
+        jax.config.update("jax_platforms", "cpu")
+    _gate_on_tunnel_health()
     devices = jax.devices()
     log(f"devices: {devices}")
     platform = devices[0].platform
