@@ -167,3 +167,48 @@ def test_tpucnn_input_fold_matches_normalized(rng):
     assert rel < 0.1, f"input-fold drift {rel:.3f}"
     corr = np.corrcoef(out_fold.ravel(), out_plain.ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_tpucnn_resident_matches_baseline(rng):
+    """int8-resident forward ≈ baseline int8 forward (same tree, residual deq only).
+
+    The two paths share every conv input through the first residual block; the only
+    numeric divergence is the skip add reading deq(x_q).  On a random net the
+    feature agreement must be near-exact (far tighter than the int8-vs-f32 bound).
+    Covers both the calibrated-input and the uint8 input-fold builds, and a
+    2-blocks-per-stage layout (mid-block producer-side requantization).
+    """
+    from tpuhar.models.video import TPUVideoCNN
+    from tpuhar.ops.quant import (
+        calibrate_tpucnn,
+        quant_tpucnn_forward,
+        quant_tpucnn_forward_resident,
+        quantize_tpucnn,
+    )
+    from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
+
+    for blocks in (1, 2):
+        net = TPUVideoCNN(widths=(32, 64), patch=8, blocks_per_stage=blocks)
+        u8 = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+        normalized = np.asarray(normalize_clip(jnp.asarray(u8)[None])[0])
+        variables = net.init(KEY, jnp.asarray(normalized), train=False)
+        params, bs = variables["params"], variables["batch_stats"]
+
+        stats = calibrate_tpucnn(params, bs, normalized)
+        for q, x in (
+            (quantize_tpucnn(params, bs, stats), normalized),
+            (
+                quantize_tpucnn(
+                    params, bs, stats, input_fold=(IMAGENET_MEAN, IMAGENET_STD)
+                ),
+                u8,
+            ),
+        ):
+            base = np.asarray(quant_tpucnn_forward(q, jnp.asarray(x)))
+            res = np.asarray(quant_tpucnn_forward_resident(q, jnp.asarray(x)))
+            assert res.shape == base.shape
+            denom = np.abs(base).mean() + 1e-8
+            rel = np.abs(res - base).mean() / denom
+            assert rel < 0.02, f"resident drift {rel:.4f} (blocks={blocks})"
+            corr = np.corrcoef(res.ravel(), base.ravel())[0, 1]
+            assert corr > 0.999

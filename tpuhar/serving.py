@@ -58,6 +58,7 @@ class InferenceEngine:
         fold_normalize: bool = True,
         quantize_calib_clips=None,
         quantize_calib_imu=None,
+        quantize_resident: bool = False,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -103,6 +104,7 @@ class InferenceEngine:
             fold_normalize=fold_normalize,
             quantize_calib_clips=quantize_calib_clips,
             quantize_calib_imu=quantize_calib_imu,
+            quantize_resident=quantize_resident,
         )
         self.config = config
         self.imu_only = imu_only
@@ -129,6 +131,7 @@ class InferenceEngine:
                     None if quantize_calib_imu is None
                     else np.asarray(quantize_calib_imu)
                 ),
+                resident=quantize_resident,
             )
             maha = self.mahalanobis
             extras = self.extra_scorers

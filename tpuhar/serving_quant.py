@@ -34,6 +34,7 @@ from .ops.quant import (
     calibrate_tpucnn,
     quant_resnet18_forward,
     quant_tpucnn_forward,
+    quant_tpucnn_forward_resident,
     quantize_resnet18,
     quantize_tpucnn,
 )
@@ -87,6 +88,7 @@ def build_quantized_forward(
     *,
     calib_imu_raw: Optional[np.ndarray] = None,
     recalibrate: bool = True,
+    resident: bool = False,
 ):
     """Returns ``fn(imu_raw, video_u8) -> {logits, msp, energy, embeddings}``.
 
@@ -99,6 +101,13 @@ def build_quantized_forward(
     used (the int8-vs-f32 logit drift originates in the video tower — the IMU branch
     is bit-identical in both programs — so any shared IMU input exposes it).
     The fitted map is exposed as ``fn.recalibration = (a, b)`` (None if disabled).
+
+    ``resident=True`` (tpu_cnn backbones only) swaps the video tower for
+    ``quant_tpucnn_forward_resident`` — producer-side quantization keeping every
+    inter-conv activation int8 in HBM (4× less activation traffic than the baseline
+    path's f32 residual-trunk intermediates; see the function's docstring for the
+    numerics delta).  Calibration, the quantized tree, and the logit recalibration
+    are shared — only the forward differs.
     """
     if cfg.model.video_backbone not in _QUANT_BACKBONES:
         raise ValueError(
@@ -106,6 +115,13 @@ def build_quantized_forward(
             f"{sorted(_QUANT_BACKBONES)}, got {cfg.model.video_backbone!r}"
         )
     calibrate, quantize, quant_forward = _QUANT_BACKBONES[cfg.model.video_backbone]
+    if resident:
+        if not cfg.model.video_backbone.startswith("tpu_cnn"):
+            raise ValueError(
+                "resident=True implements the int8-resident rewrite for tpu_cnn "
+                f"towers only, got {cfg.model.video_backbone!r}"
+            )
+        quant_forward = quant_tpucnn_forward_resident
     model = FusionClassifier(cfg)
     d = cfg.data
 
