@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--root", default="outputs/bench_accuracy")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--tpu", action="store_true", help="run on the TPU (default CPU)")
+    p.add_argument(
+        "--no-resident", action="store_true",
+        help="skip the int8-resident serving path (ops/quant "
+        "quant_tpucnn_forward_resident; scored as int8res/int8resr by default)",
+    )
     p.add_argument("--out", default="outputs/bench_accuracy/int8_ood_parity.json")
     return p.parse_args()
 
@@ -70,6 +75,7 @@ def main():
     from tpuhar.ops.quant import (
         calibrate_tpucnn,
         quant_tpucnn_forward,
+        quant_tpucnn_forward_resident,
         quantize_tpucnn,
     )
     from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
@@ -149,16 +155,21 @@ def main():
                 variables, imu, normalize_clip(video_u8), train=False
             )
 
-        @jax.jit
-        def int8_path(imu, video_u8):
-            B, T = video_u8.shape[0], video_u8.shape[1]
-            frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
-            feats = quant_tpucnn_forward(q, frames).reshape(B, T, -1)
-            tokens = feats @ proj["kernel"] + proj["bias"]
-            return model.apply(
-                variables, imu, tokens, train=False,
-                method=FusionClassifier.fuse_with_tokens,
-            )
+        def _int8_path(video_fwd):
+            @jax.jit
+            def path(imu, video_u8):
+                B, T = video_u8.shape[0], video_u8.shape[1]
+                frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+                feats = video_fwd(q, frames).reshape(B, T, -1)
+                tokens = feats @ proj["kernel"] + proj["bias"]
+                return model.apply(
+                    variables, imu, tokens, train=False,
+                    method=FusionClassifier.fuse_with_tokens,
+                )
+            return path
+
+        int8_path = _int8_path(quant_tpucnn_forward)
+        int8_resident_path = _int8_path(quant_tpucnn_forward_resident)
 
         def score_split(df, fn):
             logits, embs = [], []
@@ -174,22 +185,29 @@ def main():
 
         row = {"held_out_class": c}
         split_scores = {}
-        for name, fn in (("f32", f32_path), ("int8", int8_path)):
+        paths = [("f32", f32_path), ("int8", int8_path)]
+        if not args.no_resident:
+            paths.append(("int8res", int8_resident_path))
+        for name, fn in paths:
             tr_lg, tr_em = score_split(id_train, fn)
             id_lg, id_em = score_split(id_test, fn)
             ood_lg, ood_em = score_split(ood_test, fn)
             split_scores[name] = (tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em)
 
-        # int8r = the shipped serving semantics (serving_quant recalibration): affine
-        # logit map fitted on the calibration split (id-train), applied to held-out
-        # logits; embeddings (→ Mahalanobis) are untouched.
+        # int8r / int8resr = the shipped serving semantics (serving_quant
+        # recalibration): affine logit map fitted on the calibration split
+        # (id-train), applied to held-out logits; embeddings (→ Mahalanobis) are
+        # untouched.
         from tpuhar.serving_quant import fit_logit_recalibration
 
-        a, b = fit_logit_recalibration(split_scores["f32"][0], split_scores["int8"][0])
-        tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em = split_scores["int8"]
-        split_scores["int8r"] = (
-            a * tr_lg + b, tr_em, a * id_lg + b, id_em, a * ood_lg + b, ood_em,
-        )
+        for name in [n for n, _ in paths if n != "f32"]:
+            a, b = fit_logit_recalibration(
+                split_scores["f32"][0], split_scores[name][0]
+            )
+            tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em = split_scores[name]
+            split_scores[f"{name}r"] = (
+                a * tr_lg + b, tr_em, a * id_lg + b, id_em, a * ood_lg + b, ood_em,
+            )
 
         path_scores = {}
         for name, (tr_lg, tr_em, id_lg, id_em, ood_lg, ood_em) in split_scores.items():
@@ -251,8 +269,12 @@ def main():
         log(f"[class {c}] ({time.perf_counter() - t0:.0f}s) " + json.dumps(row))
         Path(args.out).write_text(json.dumps(results, indent=2))
 
-    # summary deltas (int8 = raw quantized logits; int8r = shipped recalibrated path)
-    for name in ("int8", "int8r"):
+    # summary deltas (int8 = raw quantized logits; int8r = shipped recalibrated path;
+    # int8res/int8resr = the int8-resident rewrite, raw/recalibrated)
+    names = ["int8", "int8r"]
+    if results and "int8res_auroc_msp" in results[0]:
+        names += ["int8res", "int8resr"]
+    for name in names:
         for s in ("msp", "energy", "mahalanobis"):
             d = [r[f"{name}_auroc_{s}"] - r[f"f32_auroc_{s}"] for r in results]
             log(
