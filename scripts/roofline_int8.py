@@ -51,9 +51,22 @@ def tpucnn_layers(widths=(256, 512), blocks=1, patch=16, hw=224):
     return L
 
 
-def analyze(frames_per_step):
+def resnet18_int8_layers():
+    """Flatten roofline_resnet's layer map to (name, H, Cin, Cout, k, stride)."""
+    sys.path.insert(0, "scripts")
+    from roofline_resnet import resnet18_layers
+
+    out = []
+    for name, H, _W, Cin, Cout, k, s, count in resnet18_layers():
+        for i in range(count):
+            out.append((f"{name}.{i}" if count > 1 else name, H, Cin, Cout, k, s))
+    return out
+
+
+def analyze(frames_per_step, tower="tpu_cnn"):
+    layers = tpucnn_layers() if tower.startswith("tpu_cnn") else resnet18_int8_layers()
     rows = []
-    for name, H, Cin, Cout, k, s in tpucnn_layers():
+    for name, H, Cin, Cout, k, s in layers:
         Ho = H // s
         flops = 2.0 * Ho * Ho * Cin * Cout * k * k * frames_per_step
         # weights are int8, batch-amortized; activations in+out per conv
@@ -67,7 +80,9 @@ def analyze(frames_per_step):
         b_f32 = in_bytes + out_bytes + w_bytes
         # resident path: every inter-conv tensor is int8 (1 B)
         b_int8 = act_elems * 1.0 + w_bytes
-        t_mxu = flops / PEAK_INT8
+        # MXU is a 128x128 systolic array: Cout < 128 output lanes cap the usable
+        # peak regardless of precision (same shape cap as roofline_resnet.py)
+        t_mxu = flops / (PEAK_INT8 * min(Cout / 128.0, 1.0))
         rows.append({
             "layer": name, "gflops": flops / 1e9,
             "mb_f32path": b_f32 / 1e6, "mb_residentpath": b_int8 / 1e6,
@@ -80,20 +95,24 @@ def analyze(frames_per_step):
     return rows
 
 
-def build_towers(batch_frames):
-    """Init a full-size TPUVideoCNN on CPU, quantize, return the three programs."""
+def build_towers(batch_frames, tower="tpu_cnn"):
+    """Init a full-size tower on CPU, quantize, return the three programs."""
     import jax
     import jax.numpy as jnp
 
-    from tpuhar.models.video import TPUVideoCNN
-    from tpuhar.ops.quant import (
-        calibrate_tpucnn,
-        quant_tpucnn_forward,
-        quant_tpucnn_forward_resident,
-        quantize_tpucnn,
-    )
+    from tpuhar.models.video import ResNet18, TPUVideoCNN
+    from tpuhar.ops import quant as Q
 
-    net = TPUVideoCNN(dtype=jnp.bfloat16)
+    if tower.startswith("tpu_cnn"):
+        net = TPUVideoCNN(dtype=jnp.bfloat16)
+        calibrate, quantize = Q.calibrate_tpucnn, Q.quantize_tpucnn
+        fwd_base, fwd_res = Q.quant_tpucnn_forward, Q.quant_tpucnn_forward_resident
+    else:
+        net = ResNet18(dtype=jnp.bfloat16)
+        calibrate, quantize = Q.calibrate_resnet18, Q.quantize_resnet18
+        fwd_base, fwd_res = (
+            Q.quant_resnet18_forward, Q.quant_resnet18_forward_resident,
+        )
     npr = np.random.default_rng(0)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -102,11 +121,9 @@ def build_towers(batch_frames):
             lambda k, x: net.init(k, x, train=False)
         )(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
         calib = npr.normal(0, 1, size=(8, 224, 224, 3)).astype(np.float32)
-        stats = calibrate_tpucnn(
-            variables["params"], variables["batch_stats"], calib
-        )
+        stats = calibrate(variables["params"], variables["batch_stats"], calib)
         q = jax.device_get(
-            quantize_tpucnn(variables["params"], variables["batch_stats"], stats)
+            quantize(variables["params"], variables["batch_stats"], stats)
         )
     frames = npr.normal(0, 1, size=(batch_frames, 224, 224, 3)).astype(np.float32)
 
@@ -115,8 +132,8 @@ def build_towers(batch_frames):
 
     return {
         "bf16": bf16_fwd,
-        "int8_baseline": lambda x: quant_tpucnn_forward(q, x),
-        "int8_resident": lambda x: quant_tpucnn_forward_resident(q, x),
+        "int8_baseline": lambda x: fwd_base(q, x),
+        "int8_resident": lambda x: fwd_res(q, x),
     }, frames
 
 
@@ -154,10 +171,11 @@ def main():
     ap.add_argument("--batch", type=int, default=256, help="windows per step")
     ap.add_argument("--frames", type=int, default=16, help="frames per window")
     ap.add_argument("--measure", action="store_true", help="time towers on the TPU")
+    ap.add_argument("--tower", default="tpu_cnn", choices=["tpu_cnn", "resnet18"])
     args = ap.parse_args()
 
     fps = args.batch * args.frames
-    rows = analyze(fps)
+    rows = analyze(fps, args.tower)
     cols = ["layer", "gflops", "mb_f32path", "mb_residentpath", "t_mxu_ms",
             "t_mem_f32_ms", "t_mem_int8_ms", "floor_f32path_ms", "floor_resident_ms"]
     print("| " + " | ".join(cols) + " |")
@@ -171,6 +189,7 @@ def main():
     floor_res = sum(r["floor_resident_ms"] for r in rows)
     summary = {
         "bench": "int8_tower_roofline",
+        "tower": args.tower,
         "frames_per_step": fps,
         "tower_gflops_per_step": round(sum(r["gflops"] for r in rows), 1),
         "floor_f32path_ms": round(floor_f32, 2),
@@ -179,7 +198,7 @@ def main():
         "floor_resident_inf_per_s": round(args.batch / (floor_res / 1e3)),
     }
     if args.measure:
-        towers, frames = build_towers(fps)
+        towers, frames = build_towers(fps, args.tower)
         for name, fwd in towers.items():
             dt = time_tower(fwd, frames)
             summary[f"{name}_ms"] = round(dt * 1e3, 2)

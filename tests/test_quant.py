@@ -212,3 +212,31 @@ def test_tpucnn_resident_matches_baseline(rng):
             assert rel < 0.02, f"resident drift {rel:.4f} (blocks={blocks})"
             corr = np.corrcoef(res.ravel(), base.ravel())[0, 1]
             assert corr > 0.999
+
+
+def test_resnet18_resident_matches_baseline(rng):
+    """int8-resident ResNet-18 ≈ baseline int8 forward (identity-skip deq only;
+    downsample-branch codes and int8 max-pool are bit-identical by construction)."""
+    from tpuhar.ops.quant import (
+        calibrate_resnet18,
+        quant_resnet18_forward,
+        quant_resnet18_forward_resident,
+        quantize_resnet18,
+    )
+
+    net = ResNet18()
+    frames = rng.normal(0, 1.0, size=(2, 64, 64, 3)).astype(np.float32)
+    variables = net.init(KEY, jnp.asarray(frames), train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    stats = calibrate_resnet18(params, bs, frames)
+    q = quantize_resnet18(params, bs, stats)
+    base = np.asarray(quant_resnet18_forward(q, jnp.asarray(frames)))
+    res = np.asarray(quant_resnet18_forward_resident(q, jnp.asarray(frames)))
+
+    assert res.shape == base.shape
+    denom = np.abs(base).mean() + 1e-8
+    rel = np.abs(res - base).mean() / denom
+    assert rel < 0.02, f"resident drift {rel:.4f}"
+    corr = np.corrcoef(res.ravel(), base.ravel())[0, 1]
+    assert corr > 0.999

@@ -400,16 +400,29 @@ def test_quantized_engine_resident(rng):
     assert corr > 0.999, f"resident-vs-baseline int8 logit corr {corr}"
 
 
-def test_quantize_resident_requires_tpucnn(rng):
+def test_quantized_engine_resident_resnet18(rng):
+    """quantize_resident=True on the resnet18 parity tower serves finite logits
+    tracking the baseline int8 engine."""
     cfg = _cfg()
     cfg.model.video_backbone = "resnet18"
     model = FusionClassifier(cfg)
     variables = model.init(
         KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3))
     )
-    with pytest.raises(ValueError, match="resident"):
-        InferenceEngine(
-            cfg, variables, batch_sizes=[8],
-            quantize_calib_clips=np.zeros((2, 4, 32, 32, 3), np.uint8),
-            quantize_resident=True,
-        )
+
+    imu = rng.normal(0, 8000, size=(4, 250, 6)).astype(np.float32)
+    video = (rng.random((4, 4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    q_base = InferenceEngine(
+        cfg, variables, batch_sizes=[4], quantize_calib_clips=video[:2]
+    )
+    q_res = InferenceEngine(
+        cfg, variables, batch_sizes=[4], quantize_calib_clips=video[:2],
+        quantize_resident=True,
+    )
+    out_b = q_base.predict(imu, video)
+    out_r = q_res.predict(imu, video)
+    assert out_r["logits"].shape == out_b["logits"].shape
+    assert np.isfinite(out_r["logits"]).all()
+    corr = np.corrcoef(out_r["logits"].ravel(), out_b["logits"].ravel())[0, 1]
+    assert corr > 0.999, f"resident-vs-baseline int8 logit corr {corr}"

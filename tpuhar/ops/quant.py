@@ -208,6 +208,74 @@ def quant_resnet18_forward(q: Dict, frames: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))
 
 
+def quant_resnet18_forward_resident(q: Dict, frames: jax.Array) -> jax.Array:
+    """int8-*resident* ResNet-18: inter-conv activations live as int8 in HBM.
+
+    The baseline ``quant_resnet18_forward`` is bandwidth-bound on v5e (measured
+    1.02× bf16, docs/BENCHMARKS.md roofline) because every block-trunk activation
+    has 2-3 consumers (conv1's quantize, the skip add, optionally the downsample
+    conv's quantize) and therefore round-trips HBM in f32.  Producer-side
+    quantization feeds all consumers from the int8 tensor — conv1 and the
+    downsample conv read it directly (bit-identical codes to the baseline path);
+    the identity skip reads ``deq(x_q)`` fused into conv2's epilogue.  The stem's
+    max-pool runs on int8: max-pooling commutes exactly with monotonic
+    round/clip quantization (the window max survives pooling, so the calibrated
+    post-pool scale is also the pre-pool absmax).
+
+    Numerics: identical to the baseline except identity skips consume
+    ``deq(quantize(x))`` — one extra int8 rounding per identity block (pinned by
+    ``tests/test_quant.py::test_resnet18_resident_matches_baseline``).
+    """
+    scales = q["act_scales"]
+
+    def conv_f32(x_q, packed, x_scale, *, strides, pad, relu):
+        y = int8_conv(
+            x_q, packed["w_q"], x_scale, packed["w_scale"], strides=strides,
+            padding=pad,
+        ) + packed["bias"]
+        return nn.relu(y) if relu else y
+
+    y = conv_f32(
+        quantize_activations(frames, scales["stem"]), q["stem"], scales["stem"],
+        strides=(2, 2), pad=[(3, 3), (3, 3)], relu=True,
+    )
+    site = "layer0_0.in"
+    x_q = nn.max_pool(
+        quantize_activations(y, scales[site]), (3, 3), strides=(2, 2),
+        padding=[(1, 1), (1, 1)],
+    )
+    for li in range(4):
+        for bi in range(2):
+            name = f"layer{li}_{bi}"
+            entry = q[name]
+            strides = (2, 2) if (bi == 0 and li > 0) else (1, 1)
+            h = conv_f32(
+                x_q, entry["conv1"], scales[site], strides=strides,
+                pad=[(1, 1), (1, 1)], relu=True,
+            )
+            h_q = quantize_activations(h, scales[f"{name}.mid"])
+            o = conv_f32(
+                h_q, entry["conv2"], scales[f"{name}.mid"], strides=(1, 1),
+                pad=[(1, 1), (1, 1)], relu=False,
+            )
+            if "downsample" in entry:
+                res = conv_f32(
+                    x_q, entry["downsample"], scales[site], strides=strides,
+                    pad="VALID", relu=False,
+                )
+            else:
+                res = x_q.astype(jnp.float32) * scales[site]
+            y = nn.relu(o + res)
+            nxt = (
+                f"layer{li}_{bi + 1}.in" if bi == 0
+                else (f"layer{li + 1}_0.in" if li < 3 else None)
+            )
+            if nxt is not None:
+                site = nxt
+                x_q = quantize_activations(y, scales[site])
+    return jnp.mean(y, axis=(1, 2))
+
+
 # ---------------------------------------------------------------------------------
 # Quantized TPUVideoCNN backbone (the flagship serving tower)
 # ---------------------------------------------------------------------------------

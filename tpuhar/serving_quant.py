@@ -33,6 +33,7 @@ from .ops.quant import (
     calibrate_resnet18,
     calibrate_tpucnn,
     quant_resnet18_forward,
+    quant_resnet18_forward_resident,
     quant_tpucnn_forward,
     quant_tpucnn_forward_resident,
     quantize_resnet18,
@@ -102,8 +103,9 @@ def build_quantized_forward(
     is bit-identical in both programs — so any shared IMU input exposes it).
     The fitted map is exposed as ``fn.recalibration = (a, b)`` (None if disabled).
 
-    ``resident=True`` (tpu_cnn backbones only) swaps the video tower for
-    ``quant_tpucnn_forward_resident`` — producer-side quantization keeping every
+    ``resident=True`` swaps the video tower for its int8-resident variant
+    (``quant_tpucnn_forward_resident`` / ``quant_resnet18_forward_resident``) —
+    producer-side quantization keeping every
     inter-conv activation int8 in HBM (4× less activation traffic than the baseline
     path's f32 residual-trunk intermediates; see the function's docstring for the
     numerics delta).  Calibration, the quantized tree, and the logit recalibration
@@ -116,12 +118,11 @@ def build_quantized_forward(
         )
     calibrate, quantize, quant_forward = _QUANT_BACKBONES[cfg.model.video_backbone]
     if resident:
-        if not cfg.model.video_backbone.startswith("tpu_cnn"):
-            raise ValueError(
-                "resident=True implements the int8-resident rewrite for tpu_cnn "
-                f"towers only, got {cfg.model.video_backbone!r}"
-            )
-        quant_forward = quant_tpucnn_forward_resident
+        quant_forward = (
+            quant_resnet18_forward_resident
+            if cfg.model.video_backbone == "resnet18"
+            else quant_tpucnn_forward_resident
+        )
     model = FusionClassifier(cfg)
     d = cfg.data
 
