@@ -35,6 +35,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_LAST_TPU_RESULT = "docs/bench_last_tpu.json"
+
+
+def _emit_stale_fallback(reason: str) -> None:
+    """Emit the last *real* chip measurement, clearly flagged stale, then exit.
+
+    The axon tunnel has had multi-hour relay outages (2026-08-17: ~7h+).  If the
+    driver's end-of-round bench lands in one, aborting loses the round's perf
+    record even though a real measurement exists.  Every successful TPU run of
+    this script persists its result JSON to ``docs/bench_last_tpu.json``; on a
+    dead tunnel we re-emit that record with ``stale: true`` and the reason — an
+    honest, clearly-labeled last-known-good, never a fabricated number.  If no
+    record exists, exit non-zero as before.
+    """
+    import os
+
+    if not os.path.exists(_LAST_TPU_RESULT):
+        log("no last-known TPU result to fall back to — aborting")
+        sys.exit(3)
+    with open(_LAST_TPU_RESULT) as f:
+        rec = json.load(f)
+    rec["stale"] = True
+    rec["stale_reason"] = reason
+    log(f"emitting stale last-known TPU measurement ({rec.get('measured_at')})")
+    print(json.dumps(rec))
+    sys.exit(0)
+
+
 def _gate_on_tunnel_health(probes: int = 8, interval_s: float = 120.0) -> None:
     """Fail fast (and ride out short outages) when the axon TPU tunnel is dead.
 
@@ -63,8 +91,12 @@ def _gate_on_tunnel_health(probes: int = 8, interval_s: float = 120.0) -> None:
             log(f"tpu tunnel probe {i}/{probes} failed; retrying in {interval_s:.0f}s")
             if i < probes:
                 time.sleep(interval_s)
-    log("tpu tunnel unreachable after all probes — aborting bench")
-    sys.exit(3)
+    log("tpu tunnel unreachable after all probes")
+    _emit_stale_fallback(
+        f"axon tunnel unreachable at bench time ({probes} probes over "
+        f"{probes * interval_s / 60:.0f} min); value is the last real chip "
+        "measurement, not a fresh run"
+    )
 
 
 def main():
@@ -283,6 +315,21 @@ def main():
         )
         for k in ("int8_value", "int8_step_ms", "int8_vs_baseline"):
             result.pop(k, None)
+    if platform != "cpu" and cfg.model.video_backbone == "tpu_cnn":
+        # persist the default-config chip measurement for the stale fallback
+        try:
+            import datetime
+            import os
+
+            rec = dict(result)
+            rec["measured_at"] = (
+                datetime.datetime.now(datetime.timezone.utc).isoformat()
+            )
+            os.makedirs("docs", exist_ok=True)
+            with open(_LAST_TPU_RESULT, "w") as f:
+                json.dump(rec, f, indent=1)
+        except OSError as e:
+            log(f"could not persist last-TPU record: {e}")
     print(json.dumps(result))
 
 
