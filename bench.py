@@ -220,12 +220,18 @@ def main():
         f"p50 window latency={p50_window_ms}ms  sweep={latency_sweep_ms}"
     )
 
-    # int8 PTQ serving option (tpu_cnn towers): same chained-loop measurement through
+    # int8 PTQ serving option (tpu_cnn / resnet18 towers): same chained-loop
+    # measurement through
     # serving_quant's program. Best-effort — the bf16 headline above never depends on
     # this succeeding. (docs/BENCHMARKS.md: 10,499 inf/s = 210%; Mahalanobis-AUROC
     # parity validated on trained checkpoints, scripts/validate_int8_ood.py.)
     int8_extras = {}
-    if platform != "cpu" and cfg.model.video_backbone.startswith("tpu_cnn"):
+    quant_backbones = (
+        cfg.model.video_backbone.startswith("tpu_cnn")
+        or cfg.model.video_backbone == "resnet18"
+        or cfg.model.video_backbone.startswith("videomae")
+    )
+    if platform != "cpu" and quant_backbones:
         try:
             from tpuhar.serving_quant import build_quantized_forward
 

@@ -156,3 +156,17 @@ def test_featurize_windows_serving_path(rng):
     )
     norm = (filt - filt.mean(0, keepdims=True)) / (filt.std(0, keepdims=True) + 1e-8)
     np.testing.assert_allclose(out[1], norm.T, atol=1e-4)
+
+
+def test_auto_platform_honors_default_device_scope():
+    """Regression: in a TPU process, serving_quant's CPU-side recalibration jits
+    the serving forward under ``jax.default_device(cpu)`` — the Pallas TPU kernel
+    must NOT be selected there ("Only interpret mode is supported on CPU
+    backend", hit live 2026-08-18).  The dispatch must honor the explicit
+    default-device config over ``jax.devices()[0]``."""
+    import jax
+
+    from tpuhar.ops.fused_window import _auto_platform
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert _auto_platform() == "cpu"

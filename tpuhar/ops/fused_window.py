@@ -151,6 +151,22 @@ def featurize_windows_pallas(
     return out[:rows, :T].reshape(B, C, T)
 
 
+def _auto_platform() -> str:
+    """Platform the next jitted computation will actually run on.
+
+    ``jax.devices()[0].platform`` alone is wrong inside a
+    ``jax.default_device(cpu)`` scope in a TPU process: the computation compiles
+    for CPU but the Pallas TPU kernel would still be selected, failing with
+    "Only interpret mode is supported on CPU backend" (hit by serving_quant's
+    CPU-side recalibration scoring in a live-tunnel process).  The explicit
+    default-device config wins when set.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:  # Device object, or a platform string in newer jax
+        return dev if isinstance(dev, str) else dev.platform
+    return jax.devices()[0].platform
+
+
 def featurize_windows_auto(
     raw_windows: jax.Array,
     *,
@@ -165,7 +181,7 @@ def featurize_windows_auto(
     jnp path, maxdiff < 1e-6); elsewhere — and for kernel sizes the Pallas kernel
     doesn't cover — falls back to the XLA-fused jnp implementation.
     """
-    platform = jax.devices()[0].platform
+    platform = _auto_platform()
     if platform == "tpu" and kernel_size in (1, 4, 5):
         return featurize_windows_pallas(
             raw_windows,

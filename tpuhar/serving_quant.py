@@ -39,6 +39,7 @@ from .ops.quant import (
     quantize_resnet18,
     quantize_tpucnn,
 )
+from .ops.quant_vit import calibrate_vit, quant_vit_forward, quantize_vit
 from .ops.video import normalize_clip
 
 # backbone → (calibrate, quantize, forward) triples for the int8 PTQ path
@@ -46,7 +47,11 @@ _QUANT_BACKBONES = {
     "resnet18": (calibrate_resnet18, quantize_resnet18, quant_resnet18_forward),
     "tpu_cnn": (calibrate_tpucnn, quantize_tpucnn, quant_tpucnn_forward),
     "tpu_cnn_large": (calibrate_tpucnn, quantize_tpucnn, quant_tpucnn_forward),
+    "videomae_base": (calibrate_vit, quantize_vit, quant_vit_forward),
+    "videomae_small": (calibrate_vit, quantize_vit, quant_vit_forward),
+    "videomae_tiny": (calibrate_vit, quantize_vit, quant_vit_forward),
 }
+_VIT_BACKBONES = {"videomae_base", "videomae_small", "videomae_tiny"}
 
 
 def fit_logit_recalibration(
@@ -93,8 +98,9 @@ def build_quantized_forward(
 ):
     """Returns ``fn(imu_raw, video_u8) -> {logits, msp, energy, embeddings}``.
 
-    ``variables`` is a FusionClassifier variables tree with a resnet18 or tpu_cnn
-    video backbone; ``calib_clips_u8`` is ``(Ncal, T, H, W, 3)`` uint8 used for
+    ``variables`` is a FusionClassifier variables tree with a resnet18, tpu_cnn,
+    or videomae ViT video backbone (``ops/quant.py`` / ``ops/quant_vit.py``);
+    ``calib_clips_u8`` is ``(Ncal, T, H, W, 3)`` uint8 used for
     activation calibration — and, when ``recalibrate`` (default), for fitting the
     affine logit map that restores the f32 msp/energy score distribution (module
     docstring).  ``calib_imu_raw`` optionally pairs ``(Ncal, window, channels)`` raw
@@ -117,7 +123,13 @@ def build_quantized_forward(
             f"{sorted(_QUANT_BACKBONES)}, got {cfg.model.video_backbone!r}"
         )
     calibrate, quantize, quant_forward = _QUANT_BACKBONES[cfg.model.video_backbone]
+    is_vit = cfg.model.video_backbone in _VIT_BACKBONES
     if resident:
+        if is_vit:
+            raise ValueError(
+                "the int8-resident path is CNN-only (producer-side quantization "
+                "through conv trunks); ViT towers use the baseline int8 path"
+            )
         quant_forward = (
             quant_resnet18_forward_resident
             if cfg.model.video_backbone == "resnet18"
@@ -128,8 +140,8 @@ def build_quantized_forward(
 
     venc_params = variables["params"]["video_encoder"]
     venc_stats = dict(variables.get("batch_stats", {})).get("video_encoder", {})
-    bb_params = venc_params["backbone"]
-    bb_stats = venc_stats["backbone"]
+    bb_params = venc_params["vit"] if is_vit else venc_params["backbone"]
+    bb_stats = {} if is_vit else venc_stats["backbone"]
     proj = venc_params["projection"]
 
     # --- calibration on normalized frames -------------------------------------------
@@ -139,14 +151,18 @@ def build_quantized_forward(
         calib_device = jax.devices("cpu")[0]
     except RuntimeError:
         calib_device = jax.devices()[0]
-    # tpu_cnn's VALID patch-embed stem admits the exact uint8 input fold (the int8
-    # analogue of ops/fold.py): no f32 normalize pass, stem consumes u8−128 directly.
-    input_fold = cfg.model.video_backbone.startswith("tpu_cnn")
+    # VALID stride==kernel patch embeds (tpu_cnn's stem AND the ViT tubelet) admit
+    # the exact uint8 input fold (the int8 analogue of ops/fold.py): no f32
+    # normalize pass, the stem consumes u8−128 directly.
+    input_fold = cfg.model.video_backbone.startswith("tpu_cnn") or is_vit
     with jax.default_device(calib_device):
-        frames = np.asarray(
-            jax.jit(normalize_clip)(calib_clips_u8)
-        ).reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))
-        act_stats = calibrate(bb_params, bb_stats, frames[:64])
+        norm = np.asarray(jax.jit(normalize_clip)(calib_clips_u8))
+        if is_vit:
+            # the ViT consumes whole clips; a few clips ≈ the CNNs' 64 frames
+            calib_in = norm[: max(64 // norm.shape[1], 2)]
+        else:
+            calib_in = norm.reshape((-1,) + calib_clips_u8.shape[2:4] + (3,))[:64]
+        act_stats = calibrate(bb_params, bb_stats, calib_in)
         if input_fold:
             from .ops.video import IMAGENET_MEAN, IMAGENET_STD
 
@@ -169,14 +185,18 @@ def build_quantized_forward(
             imu_raw, kernel_size=d.median_filter_kernel,
             normalize=d.normalize_imu, racc=d.Racc, rgyro=d.Rgyro,
         )
-        if input_fold:
-            frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+        if is_vit:
+            # whole-clip tower: raw uint8 in (tubelet input fold), tokens out
+            feats = quant_forward(q, video_u8)  # (B, N, d_model) f32
         else:
-            video = normalize_clip(video_u8)
-            frames = video.reshape((B * T,) + video.shape[2:])
-        feats = quant_forward(q, frames)  # (B*T, feat_dim) f32
-        feats = feats.reshape(B, T, -1)
-        tokens = feats @ proj["kernel"] + proj["bias"]  # (B, T, video_d_model)
+            if input_fold:
+                frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+            else:
+                video = normalize_clip(video_u8)
+                frames = video.reshape((B * T,) + video.shape[2:])
+            feats = quant_forward(q, frames)  # (B*T, feat_dim) f32
+            feats = feats.reshape(B, T, -1)
+        tokens = feats @ proj["kernel"] + proj["bias"]  # (B, ·, video_d_model)
         logits, fused = model.apply(
             variables, imu, tokens, train=False,
             method=FusionClassifier.fuse_with_tokens,
