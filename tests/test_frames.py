@@ -103,3 +103,39 @@ def test_loader_uses_frame_bank(synthetic_config, monkeypatch):
     monkeypatch.setattr(L, "decode_clip", boom)
     loader2 = BatchLoader(df, cfg, mode="cross_modal", batch_size=4, prefetch=0)
     _ = list(loader2)
+
+
+def test_frame_bank_channel_order_matches_online(tmp_path):
+    """Regression: cached clips must be RGB like the online decoder's.
+
+    The writer used to convert BGR→RGB before imencode (which assumes BGR) while
+    the reader also flipped after imdecode — a double flip returning
+    channel-swapped clips (red came back blue).  The old roundtrip test used
+    gray frames (all channels equal), hiding it; this one uses a saturated color.
+    """
+    import cv2
+
+    vid = tmp_path / "v.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 64))
+    frame_bgr = np.zeros((64, 64, 3), np.uint8)
+    frame_bgr[..., 2] = 230  # red in BGR order
+    for _ in range(60):
+        w.write(frame_bgr)
+    w.release()
+
+    writer = FrameBankWriter(tmp_path / "frames.bin", num_frames=4, resize_hw=(64, 64))
+    writer.add_video(vid, [0], window_seconds=2.0, fallback_fps=25.0)
+    writer.finalize(tmp_path / "idx.npy")
+    reader = FrameBankReader(tmp_path / "frames.bin", tmp_path / "idx.npy")
+    cached = reader.read_clip(0, (64, 64))
+    online = decode_clip(
+        vid, 0, num_frames=4, window_seconds=2.0, fallback_fps=25.0,
+        resize_hw=(64, 64),
+    )
+    reader.close()
+    # both must be RGB: red channel hot, blue cold
+    for name, clip in (("cached", cached), ("online", online)):
+        r, b = float(clip[..., 0].mean()), float(clip[..., 2].mean())
+        assert r > 150 and b < 80, f"{name} clip not RGB: R={r:.0f} B={b:.0f}"
+    diff = np.abs(cached.astype(int) - online.astype(int)).mean()
+    assert diff < 6.0, f"cached vs online mean abs diff {diff}"

@@ -86,11 +86,16 @@ class FrameBankWriter:
                 if not ret or frame is None:
                     break
                 if pos == needed[ni]:
-                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    if rgb.shape[:2] != (H, W):
-                        rgb = cv2.resize(rgb, (W, H), interpolation=cv2.INTER_LINEAR)
+                    # keep the decoder's BGR order: imencode assumes BGR input, so
+                    # the stored JPEG has CORRECT colors (readable by any tool) and
+                    # the reader's single BGR→RGB flip yields true RGB.  A previous
+                    # BGR2RGB here made a double flip with the reader's — cached
+                    # clips came back channel-swapped vs the online decode path.
+                    bgr = frame
+                    if bgr.shape[:2] != (H, W):
+                        bgr = cv2.resize(bgr, (W, H), interpolation=cv2.INTER_LINEAR)
                     ok, buf = cv2.imencode(
-                        ".jpg", rgb, [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality]
+                        ".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality]
                     )
                     if ok:
                         data = buf.tobytes()
