@@ -142,11 +142,29 @@ class FrameBankReader:
     def has_frames(self, row: int) -> bool:
         return bool((self.table[row, :, 0] >= 0).any())
 
-    def read_clip(self, row: int, resize_hw) -> np.ndarray:
-        """Decode one window's cached frames → (F, H, W, 3) uint8 (black for gaps)."""
+    def read_clip(self, row: int, resize_hw, *, backend: str = "auto",
+                  threads: int = 1) -> np.ndarray:
+        """Decode one window's cached frames → (F, H, W, 3) uint8 RGB (black gaps).
+
+        ``backend="auto"`` uses the native batched libjpeg decoder
+        (``tpuhar.native``: one GIL-released C call for the whole clip) when it
+        is built and the stored frames already match ``resize_hw``, falling back
+        to the per-frame cv2 path (which also resizes) otherwise.  ``"native"``
+        requires the native path (raises when unavailable/mismatched);
+        ``"cv2"`` forces the fallback.
+        """
+        H, W = resize_hw
+        if backend in ("auto", "native"):
+            clip = self._read_clip_native(row, H, W, threads)
+            if clip is not None:
+                return clip
+            if backend == "native":
+                raise RuntimeError(
+                    "native decode unavailable or stored frame size != "
+                    f"{resize_hw} (see tpuhar.native.decode_available())"
+                )
         import cv2
 
-        H, W = resize_hw
         F = self.table.shape[1]
         out = np.zeros((F, H, W, 3), dtype=np.uint8)
         for j in range(F):
@@ -161,6 +179,28 @@ class FrameBankReader:
                 img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
             out[j] = img[..., ::-1]  # BGR → RGB
         return out
+
+    def _read_clip_native(self, row: int, H: int, W: int, threads: int):
+        """One C call decodes the whole clip; None → caller falls back to cv2."""
+        from .. import native
+
+        if not native.decode_available():
+            return None
+        entries = self.table[row]  # (F, 2) of (offset, length)
+        parts = []
+        offs = np.zeros(len(entries), np.int64)
+        lens = np.zeros(len(entries), np.int64)
+        pos = 0
+        for j, (off, length) in enumerate(entries):
+            if off < 0 or length <= 0:
+                continue
+            parts.append(os.pread(self.fd, int(length), int(off)))
+            offs[j] = pos
+            lens[j] = int(length)
+            pos += int(length)
+        return native.decode_jpeg_bank(
+            b"".join(parts), offs, lens, H, W, threads=threads
+        )
 
     def close(self):
         try:
