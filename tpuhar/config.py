@@ -124,6 +124,10 @@ class DataConfig:
     # The process pool scales clip decode with host cores (torch DataLoader
     # num_workers equivalent); threads suffice on small hosts.
     decode_processes: int = 0
+    # Threads per native batched-JPEG clip decode (tpuhar/native; GIL-released
+    # libjpeg-turbo fan-out inside one read_clip call). 1 is right for this
+    # 1-core container; raise on multi-core serving hosts.
+    decode_threads: int = 1
     # Input-pipeline backend: "default" (BatchLoader) or "grain" (Google Grain
     # MapDataset with multiprocess prefetch — production multi-core hosts).
     loader_backend: str = "default"

@@ -335,7 +335,10 @@ class BatchLoader:
                     reader = self._frame_banks[row["split"]]
                     r = int(row["bank_idx"])
                     if reader.has_frames(r):
-                        video[i] = reader.read_clip(r, (H, W))
+                        video[i] = reader.read_clip(
+                            r, (H, W),
+                            threads=int(getattr(d, "decode_threads", 1) or 1),
+                        )
                         return
                     if not bool(row.get("video_exists", True)):
                         return  # black clip
