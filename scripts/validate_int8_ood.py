@@ -73,12 +73,11 @@ def main():
     )
     from tpuhar.eval.metrics import auroc
     from tpuhar.ops.quant import (
-        calibrate_tpucnn,
-        quant_tpucnn_forward,
+        quant_resnet18_forward_resident,
         quant_tpucnn_forward_resident,
-        quantize_tpucnn,
     )
     from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
+    from tpuhar.serving_quant import _QUANT_BACKBONES, _VIT_BACKBONES
     from tpuhar.train import checkpoint as ckpt
     from tpuhar.train.factory import build_fusion_task
 
@@ -134,19 +133,24 @@ def main():
             batch_size=min(8, args.batch), prefetch=0,
         )
         calib_u8 = next(iter(calib_loader))["video"]
+        # backbone dispatch mirrors tpuhar/serving_quant.build_quantized_forward
+        # (kept inline here because this script scores raw AND recalibrated
+        # variants of several programs from one quant tree)
+        backbone = loo_cfg.model.video_backbone
+        calibrate, quantize, quant_forward = _QUANT_BACKBONES[backbone]
+        is_vit = backbone in _VIT_BACKBONES
+        input_fold = backbone.startswith("tpu_cnn") or is_vit
+        bb = venc["vit"] if is_vit else venc["backbone"]
+        bbs = {} if is_vit else vstats["backbone"]
         with jax.default_device(jax.devices("cpu")[0]):
-            calib_frames = np.asarray(
-                jax.jit(normalize_clip)(calib_u8)
-            ).reshape((-1,) + calib_u8.shape[2:4] + (3,))
-            act_stats = calibrate_tpucnn(
-                venc["backbone"], vstats["backbone"], calib_frames[:64]
-            )
-            q = jax.device_get(
-                quantize_tpucnn(
-                    venc["backbone"], vstats["backbone"], act_stats,
-                    input_fold=(IMAGENET_MEAN, IMAGENET_STD),
-                )
-            )
+            norm_clips = np.asarray(jax.jit(normalize_clip)(calib_u8))
+            if is_vit:
+                calib_in = norm_clips[: max(64 // norm_clips.shape[1], 2)]
+            else:
+                calib_in = norm_clips.reshape((-1,) + calib_u8.shape[2:4] + (3,))[:64]
+            act_stats = calibrate(bb, bbs, calib_in)
+            kw = {"input_fold": (IMAGENET_MEAN, IMAGENET_STD)} if input_fold else {}
+            q = jax.device_get(quantize(bb, bbs, act_stats, **kw))
         proj = venc["projection"]
 
         @jax.jit
@@ -159,8 +163,15 @@ def main():
             @jax.jit
             def path(imu, video_u8):
                 B, T = video_u8.shape[0], video_u8.shape[1]
-                frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
-                feats = video_fwd(q, frames).reshape(B, T, -1)
+                if is_vit:
+                    feats = video_fwd(q, video_u8)  # whole clip, raw u8 (fold)
+                elif input_fold:
+                    frames = video_u8.reshape((B * T,) + video_u8.shape[2:])
+                    feats = video_fwd(q, frames).reshape(B, T, -1)
+                else:
+                    video = normalize_clip(video_u8)
+                    frames = video.reshape((B * T,) + video.shape[2:])
+                    feats = video_fwd(q, frames).reshape(B, T, -1)
                 tokens = feats @ proj["kernel"] + proj["bias"]
                 return model.apply(
                     variables, imu, tokens, train=False,
@@ -168,8 +179,14 @@ def main():
                 )
             return path
 
-        int8_path = _int8_path(quant_tpucnn_forward)
-        int8_resident_path = _int8_path(quant_tpucnn_forward_resident)
+        int8_path = _int8_path(quant_forward)
+        int8_resident_path = None
+        if not is_vit:
+            int8_resident_path = _int8_path(
+                quant_resnet18_forward_resident
+                if backbone == "resnet18"
+                else quant_tpucnn_forward_resident
+            )
 
         def score_split(df, fn):
             logits, embs = [], []
@@ -186,7 +203,7 @@ def main():
         row = {"held_out_class": c}
         split_scores = {}
         paths = [("f32", f32_path), ("int8", int8_path)]
-        if not args.no_resident:
+        if not args.no_resident and int8_resident_path is not None:
             paths.append(("int8res", int8_resident_path))
         for name, fn in paths:
             tr_lg, tr_em = score_split(id_train, fn)
