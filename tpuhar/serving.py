@@ -62,7 +62,7 @@ class InferenceEngine:
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
-        resnet18 backbones; measured 10,499 vs 7,310 inf/s on the flagship,
+        resnet18 / videomae backbones; measured 10,499 vs 7,310 inf/s on the flagship,
         docs/BENCHMARKS.md).  OOD scores under int8: Mahalanobis AUROC parity is
         validated when the scorer is refitted on int8-path embeddings (use
         ``fit_embedding_scorers`` — it serves the calibration data through this
