@@ -127,7 +127,8 @@ def main():
 
         # build the int8 tower from the SAME checkpoint (calibrate on id-train clips)
         venc = variables["params"]["video_encoder"]
-        vstats = variables["batch_stats"]["video_encoder"]
+        # ViT towers carry no video_encoder batch_stats — mirror serving_quant
+        vstats = dict(variables.get("batch_stats") or {}).get("video_encoder", {})
         calib_loader = BatchLoader(
             id_train.head(args.batch), loo_cfg, mode="fusion",
             batch_size=min(8, args.batch), prefetch=0,

@@ -139,3 +139,33 @@ def test_frame_bank_channel_order_matches_online(tmp_path):
         assert r > 150 and b < 80, f"{name} clip not RGB: R={r:.0f} B={b:.0f}"
     diff = np.abs(cached.astype(int) - online.astype(int)).mean()
     assert diff < 6.0, f"cached vs online mean abs diff {diff}"
+
+
+def test_legacy_bank_without_sidecar_served_unflipped(tmp_path):
+    """Banks written before the channel fix (no v2 sidecar) store true RGB under
+    cv2's BGR label; the reader must serve them WITHOUT its flip (and never
+    through the native RGB decoder)."""
+    import cv2
+
+    # simulate the pre-fix writer: imencode fed the RGB array (treating it as BGR)
+    red_rgb = np.zeros((32, 32, 3), np.uint8)
+    red_rgb[..., 0] = 230
+    ok, buf = cv2.imencode(".jpg", red_rgb, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    data = buf.tobytes()
+    (tmp_path / "f.bin").write_bytes(data)
+    np.save(tmp_path / "i.npy", np.asarray([[[0, len(data)]]], np.int64))
+    # no .meta.json sidecar → legacy
+
+    reader = FrameBankReader(tmp_path / "f.bin", tmp_path / "i.npy")
+    assert reader.legacy_color
+    clip = reader.read_clip(0, (32, 32))
+    r, b = float(clip[0, ..., 0].mean()), float(clip[0, ..., 2].mean())
+    assert r > 150 and b < 80, f"legacy clip not served as RGB: R={r:.0f} B={b:.0f}"
+    reader.close()
+
+    # v2 sidecar present → current semantics (flip) — written by finalize()
+    writer = FrameBankWriter(tmp_path / "g.bin", num_frames=1, resize_hw=(32, 32))
+    writer.rows.append(np.asarray([[0, 1]], np.int64))  # dummy row to trigger save
+    writer.finalize(tmp_path / "j.npy")
+    assert (tmp_path / "j.meta.json").exists()

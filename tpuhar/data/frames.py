@@ -126,6 +126,15 @@ class FrameBankWriter:
             return None
         table = np.stack(self.rows)
         np.save(index_path, table)
+        # Format sidecar. v2 = standard-color JPEGs (BGR fed to imencode); banks
+        # without a sidecar predate the channel-order fix and store true RGB
+        # under a BGR label — the reader serves them correctly by SKIPPING its
+        # BGR→RGB flip instead of silently returning swapped channels.
+        import json
+
+        Path(index_path).with_suffix(".meta.json").write_text(
+            json.dumps({"bank_format_version": 2, "color": "standard-jpeg"})
+        )
         return table
 
 
@@ -135,6 +144,21 @@ class FrameBankReader:
     def __init__(self, bin_path, index_path):
         self.fd = os.open(str(bin_path), os.O_RDONLY)
         self.table = np.load(index_path)  # (N, F, 2)
+        # banks without the v2 sidecar were written before the channel-order fix
+        # and hold true RGB under a BGR label: serve them via cv2 WITHOUT the
+        # flip (and never through the native RGB decoder)
+        meta = Path(index_path).with_suffix(".meta.json")
+        self.legacy_color = True
+        if meta.exists():
+            import json
+
+            try:
+                self.legacy_color = (
+                    int(json.loads(meta.read_text()).get("bank_format_version", 1))
+                    < 2
+                )
+            except (ValueError, OSError):
+                pass
 
     def __len__(self):
         return len(self.table)
@@ -177,14 +201,15 @@ class FrameBankReader:
                 continue
             if img.shape[:2] != (H, W):
                 img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
-            out[j] = img[..., ::-1]  # BGR → RGB
+            # legacy (pre-v2) banks already hold RGB under cv2's BGR label
+            out[j] = img if self.legacy_color else img[..., ::-1]
         return out
 
     def _read_clip_native(self, row: int, H: int, W: int, threads: int):
         """One C call decodes the whole clip; None → caller falls back to cv2."""
         from .. import native
 
-        if not native.decode_available():
+        if self.legacy_color or not native.decode_available():
             return None
         entries = self.table[row]  # (F, 2) of (offset, length)
         parts = []

@@ -26,19 +26,34 @@ _build_failed = False
 
 
 def _build() -> bool:
-    """Compile decode.c → libtpuhar_decode.so (idempotent, mtime-cached)."""
+    """Compile decode.c → libtpuhar_decode.so (idempotent, mtime-cached).
+
+    Compiles to a per-pid temp name and ``os.rename``s into place so concurrent
+    worker processes on a fresh checkout (``data.decode_processes``/Grain) never
+    observe a truncated .so — rename is atomic within a filesystem, and a loser
+    just overwrites the winner with identical bytes.
+    """
     if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
     cc = os.environ.get("CC", "cc")
+    tmp = _SO.with_suffix(f".{os.getpid()}.tmp.so")
     cmd = [
-        cc, "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO),
+        cc, "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(tmp),
         "-ljpeg", "-lpthread",
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode != 0 or not tmp.exists():
+            return False
+        os.rename(tmp, _SO)
     except (OSError, subprocess.TimeoutExpired):
         return False
-    return r.returncode == 0 and _SO.exists()
+    finally:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
+    return _SO.exists()
 
 
 def _load():
@@ -99,7 +114,14 @@ def decode_jpeg_bank(
     if out is None:
         out = np.zeros((n, H, W, 3), dtype=np.uint8)
     else:
-        assert out.shape == (n, H, W, 3) and out.dtype == np.uint8
+        # hard check, not assert: the C side writes n*H*W*3 bytes unconditionally
+        # and a smaller buffer under `python -O` would be heap corruption
+        if out.shape != (n, H, W, 3) or out.dtype != np.uint8:
+            raise ValueError(
+                f"out must be uint8 {(n, H, W, 3)}, got {out.dtype} {out.shape}"
+            )
+        if not out.flags.c_contiguous:
+            raise ValueError("out must be C-contiguous")
         out[lens <= 0] = 0
     rc = lib.tpuhar_decode_jpeg_bank(
         blob,

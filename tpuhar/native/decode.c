@@ -65,8 +65,7 @@ static int decode_one(const unsigned char *buf, size_t len,
 }
 
 typedef struct {
-    const unsigned char *blob; /* frame bank bytes (or NULL when using ptrs) */
-    const unsigned char **ptrs;
+    const unsigned char *blob; /* frame bank bytes */
     const long long *offs; /* per-image (offset, length); length<=0 = gap */
     const long long *lens;
     int n;
@@ -82,10 +81,8 @@ static void *worker(void *arg) {
     for (int i = j->start; i < j->n; i += j->step) {
         if (j->lens[i] <= 0)
             continue; /* missing frame: caller pre-zeroed (black) */
-        const unsigned char *src =
-            j->blob ? j->blob + j->offs[i] : j->ptrs[i];
-        int r = decode_one(src, (size_t)j->lens[i], j->out + stride * i,
-                           j->H, j->W);
+        int r = decode_one(j->blob + j->offs[i], (size_t)j->lens[i],
+                           j->out + stride * i, j->H, j->W);
         if (r && !j->rc)
             j->rc = r;
     }
@@ -109,17 +106,21 @@ int tpuhar_decode_jpeg_bank(const unsigned char *blob, const long long *offs,
     if (threads > MAX_THREADS)
         threads = MAX_THREADS;
     if (threads == 1) {
-        job_t j = {blob, NULL, offs, lens, n, out, H, W, 0, 1, 0};
+        job_t j = {blob, offs, lens, n, out, H, W, 0, 1, 0};
         worker(&j);
         return j.rc;
     }
+    int spawned[MAX_THREADS];
     for (int t = 0; t < threads; t++) {
-        jobs[t] = (job_t){blob, NULL, offs, lens, n, out, H, W, t, threads, 0};
-        pthread_create(&tids[t], NULL, worker, &jobs[t]);
+        jobs[t] = (job_t){blob, offs, lens, n, out, H, W, t, threads, 0};
+        spawned[t] = pthread_create(&tids[t], NULL, worker, &jobs[t]) == 0;
+        if (!spawned[t])
+            worker(&jobs[t]); /* EAGAIN etc.: run this shard inline */
     }
     int rc = 0;
     for (int t = 0; t < threads; t++) {
-        pthread_join(tids[t], NULL);
+        if (spawned[t])
+            pthread_join(tids[t], NULL);
         if (jobs[t].rc && !rc)
             rc = jobs[t].rc;
     }

@@ -223,7 +223,6 @@ def quant_vit_forward(
     scales = q["act_scales"]
     heads, dh = q["heads"], q["head_dim"]
     kt, kh, kw = q["tubelet"]
-    d_model = q["stem"]["w_q"].shape[-1]
 
     def qdense(x_f32, packed, site):
         xs = scales[site]
