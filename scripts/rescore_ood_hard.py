@@ -114,9 +114,19 @@ def main():
         cfg.paths.preprocessed_dir = root / "preprocessed"
 
         for c in classes:
-            ckpt_dir = root / tower / "checkpoints" / f"ood_loo_{c}" / "best_model"
-            if not ckpt_dir.with_suffix(".msgpack").exists():
-                log(f"[{tower}] missing checkpoint {ckpt_dir} — skipping")
+            # "last" first: trainer.fit returns the last-epoch state, so that is
+            # what the head-to-head evaluator scored (see validate_int8_ood.py)
+            loo_dir = root / tower / "checkpoints" / f"ood_loo_{c}"
+            ckpt_dir = next(
+                (
+                    loo_dir / n
+                    for n in ("last", "best_model")
+                    if (loo_dir / n).with_suffix(".msgpack").exists()
+                ),
+                None,
+            )
+            if ckpt_dir is None:
+                log(f"[{tower}] missing checkpoint under {loo_dir} — skipping")
                 continue
             t0 = time.perf_counter()
             id_train, _, remap = leave_one_out_split(dfs["train"], c)

@@ -47,6 +47,11 @@ def parse_args():
         help="skip the int8-resident serving path (ops/quant "
         "quant_tpucnn_forward_resident; scored as int8res/int8resr by default)",
     )
+    p.add_argument(
+        "--checkpoint", default="",
+        help="checkpoint name under ood_loo_{c}/ (default: 'last' then "
+        "'best_model' — matching the state the head-to-head evaluator scored)",
+    )
     p.add_argument("--out", default="outputs/bench_accuracy/int8_ood_parity.json")
     return p.parse_args()
 
@@ -100,9 +105,23 @@ def main():
     model = None
     results = []
     for c in [int(x) for x in args.classes.split(",")]:
-        ckpt_path = root / args.tower / "checkpoints" / f"ood_loo_{c}" / "best_model"
-        if not ckpt_path.with_suffix(".msgpack").exists():
-            log(f"missing checkpoint {ckpt_path} — skipping class {c}")
+        # score the SAME state the head-to-head evaluator scored: trainer.fit
+        # returns the last-epoch state and OODEvaluator's reuse prefers "last";
+        # loading best_model here silently compared a different model (caught
+        # live: identical msp/energy AUROCs, Mahalanobis 0.98 vs 0.56 — the
+        # embedding geometry keeps improving after val accuracy saturates)
+        ckpt_dir = root / args.tower / "checkpoints" / f"ood_loo_{c}"
+        names = (args.checkpoint,) if args.checkpoint else ("last", "best_model")
+        ckpt_path = next(
+            (
+                ckpt_dir / n
+                for n in names
+                if (ckpt_dir / n).with_suffix(".msgpack").exists()
+            ),
+            None,
+        )
+        if ckpt_path is None:
+            log(f"missing checkpoint under {ckpt_dir} — skipping class {c}")
             continue
         t0 = time.perf_counter()
         id_train, _, remap = leave_one_out_split(dfs["train"], c)
@@ -119,10 +138,8 @@ def main():
             task = build_fusion_task(
                 loo_cfg, 1, jax.random.PRNGKey(0), batch_size=args.batch
             )
-        state, _ = ckpt.restore_checkpoint(
-            root / args.tower / "checkpoints" / f"ood_loo_{c}" / "best_model",
-            task.state,
-        )
+        state, _ = ckpt.restore_checkpoint(ckpt_path, task.state)
+        log(f"[class {c}] scoring checkpoint {ckpt_path.name}")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         # build the int8 tower from the SAME checkpoint (calibrate on id-train clips)
