@@ -110,6 +110,55 @@ def test_mahalanobis_separates_clusters(rng):
     assert np.median(ood_scores) > np.percentile(id_scores, 99)
 
 
+def _f64_reference_fit(x, y, num_classes, eps=1e-3):
+    """Independent float64 Mahalanobis fit (the numerically-true answer)."""
+    x = np.asarray(x, np.float64)
+    D = x.shape[-1]
+    means = np.stack([x[y == c].mean(0) for c in range(num_classes)])
+    centered = x - means[y]
+    cov = centered.T @ centered / len(x)
+    cov = cov + eps * np.trace(cov) / D * np.eye(D) + 1e-6 * np.eye(D)
+    return means, np.linalg.inv(cov)
+
+
+def test_mahalanobis_fit_float64_on_illconditioned(rng):
+    """Regression for the live TPU bug where the same checkpoint scored
+    Mahalanobis AUROC 0.98 / 0.56 / 0.90 in three processes: the fit ran
+    ``X.T @ X`` + ``inv`` on-device where default matmul precision (bf16
+    passes) + a near-singular covariance amplified rounding into AUROC-sized
+    swings.  The fit must match an independent float64 reference on an
+    ill-conditioned embedding set — a float32 fit fails this by orders of
+    magnitude (kappa ~1e6 here)."""
+    N, D, C = 160, 48, 4
+    y = rng.integers(0, C, N)
+    # eigenvalue spread 1e6 → covariance condition number ~1e6 before eps reg
+    scales = np.logspace(0, -6, D)
+    x = rng.normal(size=(N, D)) * scales + np.eye(C)[y] @ rng.normal(size=(C, D))
+    scorer = MahalanobisScorer.fit(x, y, C)
+    means_ref, prec_ref = _f64_reference_fit(x, y, C)
+    np.testing.assert_allclose(np.asarray(scorer.means), means_ref, rtol=1e-5)
+    # float32 storage of the f64-computed inverse: relative error ~1e-7·|prec|
+    np.testing.assert_allclose(
+        np.asarray(scorer.precision), prec_ref,
+        rtol=1e-4, atol=1e-4 * np.abs(prec_ref).max(),
+    )
+    # determinism: two fits on identical inputs are bitwise identical
+    scorer2 = MahalanobisScorer.fit(x, y, C)
+    assert np.array_equal(np.asarray(scorer.precision), np.asarray(scorer2.precision))
+
+    # the old jnp-float32 fit diverges on this conditioning — keeps the test honest
+    x32 = np.asarray(x, np.float32)
+    means32 = np.stack([x32[y == c].mean(0) for c in range(C)])
+    cen32 = x32 - means32[y]
+    cov32 = cen32.T @ cen32 / np.float32(N)
+    cov32 = cov32 + np.float32(1e-3) * np.trace(cov32) / D * np.eye(D, dtype=np.float32)
+    cov32 = cov32 + np.float32(1e-6) * np.eye(D, dtype=np.float32)
+    prec32 = np.linalg.inv(cov32)
+    rel32 = np.abs(prec32 - prec_ref).max() / np.abs(prec_ref).max()
+    relnew = np.abs(np.asarray(scorer.precision) - prec_ref).max() / np.abs(prec_ref).max()
+    assert rel32 > 10 * max(relnew, 1e-12)
+
+
 def test_compute_ood_scores_keys(rng):
     logits = rng.normal(size=(10, 4)).astype(np.float32)
     emb = rng.normal(size=(10, 8)).astype(np.float32)

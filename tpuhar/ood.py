@@ -55,22 +55,39 @@ class MahalanobisScorer:
     def fit(
         cls, embeddings, labels, num_classes: int, eps: float = 1e-3
     ) -> "MahalanobisScorer":
-        x = jnp.asarray(embeddings, jnp.float32)
-        y = jnp.asarray(labels)
+        # Fit on HOST in float64.  The tied covariance of a D-dim embedding
+        # estimated from a few hundred windows is near-singular (kappa up to
+        # ~1e3*D even after the eps*trace/D regularizer), and on TPU the default
+        # matmul precision computes X^T X through bf16 passes — ~1e-3 relative
+        # error that the inverse amplifies into garbage.  Observed live: the SAME
+        # class-0 checkpoint scored Mahalanobis AUROC 0.98 / 0.56 / 0.90 in three
+        # processes whose logit-space scores matched to 4 decimals.  The fit is
+        # O(N*D^2) on tiny N, so numpy float64 costs nothing and makes the scorer
+        # deterministic across platforms; only score() stays on-device.
+        x = np.asarray(jax.device_get(embeddings), np.float64)
+        y = np.asarray(jax.device_get(labels)).astype(np.int64)
         D = x.shape[-1]
-        one_hot = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)  # (N, C)
-        counts = jnp.maximum(one_hot.sum(0), 1.0)  # (C,)
+        one_hot = np.eye(num_classes, dtype=np.float64)[y]  # (N, C)
+        counts = np.maximum(one_hot.sum(0), 1.0)  # (C,)
         means = (one_hot.T @ x) / counts[:, None]  # (C, D)
         centered = x - means[y]  # (N, D)
-        cov = (centered.T @ centered) / jnp.maximum(x.shape[0], 1)
-        cov = cov + eps * jnp.trace(cov) / D * jnp.eye(D) + 1e-6 * jnp.eye(D)
-        precision = jnp.linalg.inv(cov)
-        return cls(means=means, precision=precision)
+        cov = (centered.T @ centered) / max(x.shape[0], 1)
+        cov = cov + eps * np.trace(cov) / D * np.eye(D) + 1e-6 * np.eye(D)
+        precision = np.linalg.inv(cov)
+        return cls(
+            means=jnp.asarray(means, jnp.float32),
+            precision=jnp.asarray(precision, jnp.float32),
+        )
 
     def score(self, embeddings) -> jax.Array:
         x = jnp.asarray(embeddings, jnp.float32)
         diff = x[:, None, :] - self.means[None, :, :]  # (N, C, D)
-        md = jnp.einsum("ncd,de,nce->nc", diff, self.precision, diff)
+        # HIGHEST precision: default TPU einsum runs bf16 passes, and the
+        # quadratic form inherits the covariance's ill-conditioning.
+        md = jnp.einsum(
+            "ncd,de,nce->nc", diff, self.precision, diff,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jnp.min(md, axis=-1)
 
 
@@ -94,26 +111,34 @@ class RelativeMahalanobisScorer:
     def fit(
         cls, embeddings, labels, num_classes: int, eps: float = 1e-3
     ) -> "RelativeMahalanobisScorer":
+        # Host float64 fit for the same conditioning/precision reasons as
+        # MahalanobisScorer.fit (the background covariance is just as singular).
         base = MahalanobisScorer.fit(embeddings, labels, num_classes, eps=eps)
-        x = jnp.asarray(embeddings, jnp.float32)
+        x = np.asarray(jax.device_get(embeddings), np.float64)
         D = x.shape[-1]
         mean0 = x.mean(0)
         c0 = x - mean0
-        cov0 = (c0.T @ c0) / jnp.maximum(x.shape[0], 1)
-        cov0 = cov0 + eps * jnp.trace(cov0) / D * jnp.eye(D) + 1e-6 * jnp.eye(D)
+        cov0 = (c0.T @ c0) / max(x.shape[0], 1)
+        cov0 = cov0 + eps * np.trace(cov0) / D * np.eye(D) + 1e-6 * np.eye(D)
         return cls(
             means=base.means,
             precision=base.precision,
-            mean0=mean0,
-            precision0=jnp.linalg.inv(cov0),
+            mean0=jnp.asarray(mean0, jnp.float32),
+            precision0=jnp.asarray(np.linalg.inv(cov0), jnp.float32),
         )
 
     def score(self, embeddings) -> jax.Array:
         x = jnp.asarray(embeddings, jnp.float32)
         diff = x[:, None, :] - self.means[None, :, :]  # (N, C, D)
-        md = jnp.einsum("ncd,de,nce->nc", diff, self.precision, diff)
+        md = jnp.einsum(
+            "ncd,de,nce->nc", diff, self.precision, diff,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d0 = x - self.mean0[None, :]
-        md0 = jnp.einsum("nd,de,ne->n", d0, self.precision0, d0)
+        md0 = jnp.einsum(
+            "nd,de,ne->n", d0, self.precision0, d0,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jnp.min(md, axis=-1) - md0
 
 
@@ -149,7 +174,11 @@ class KNNScorer:
     def score(self, embeddings) -> jax.Array:
         z = jnp.asarray(embeddings, jnp.float32)
         z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
-        sims = z @ self.bank.T  # (M, N) — MXU
+        # HIGHEST precision: bf16-pass similarity error (~4e-3) is the same order
+        # as the margin between neighboring k-th distances on tight ID clusters.
+        sims = jnp.matmul(
+            z, self.bank.T, precision=jax.lax.Precision.HIGHEST
+        )  # (M, N) — MXU
         kth = jax.lax.top_k(sims, self.k)[0][:, -1]
         return jnp.sqrt(jnp.maximum(2.0 - 2.0 * kth, 0.0))
 
