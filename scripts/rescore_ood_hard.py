@@ -231,9 +231,24 @@ def main():
                             for n in score_names + cal_names)
                 + f"  ({row['wall_s']}s)")
 
+    # Merge with any existing artifact: a partial rescore (--towers resnet18)
+    # must not clobber previously rescored towers' rows in the shared file.
+    rescored = set(args.towers.split(","))
+    prev_rows, prev_means = [], {}
+    if Path(args.out).exists():
+        try:
+            prev = json.loads(Path(args.out).read_text())
+            prev_rows = [r for r in prev.get("rows", [])
+                         if r.get("tower") not in rescored]
+            prev_means = {t: m for t, m in prev.get("mean_by_tower", {}).items()
+                          if t not in rescored}
+        except (json.JSONDecodeError, OSError) as e:
+            log(f"could not merge existing {args.out}: {e}")
+    all_rows = prev_rows + all_rows
+
     # per-tower means + markdown table
     all_names = score_names + cal_names
-    out = {"rows": all_rows, "knn_k": args.knn_k, "mean_by_tower": {}}
+    out = {"rows": all_rows, "knn_k": args.knn_k, "mean_by_tower": prev_means}
     lines = [
         "| tower | " + " | ".join(f"AUROC {n}" for n in all_names) + " |",
         "|---|" + "---|" * len(all_names),
