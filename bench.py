@@ -311,7 +311,14 @@ def main():
         "backbone": cfg.model.video_backbone,
         **int8_extras,
     }
-    if INT8_HEADLINE and "int8_value" in int8_extras:
+    if (
+        INT8_HEADLINE
+        and "int8_value" in int8_extras
+        and int8_extras["int8_value"] > throughput
+    ):
+        # Promote int8 only when it actually wins: on ViT towers the int8 path
+        # measured 0.56x bf16 on-chip (bf16 attention + requantize overhead), so
+        # the headline stays bf16 there and int8_* remain informational extras.
         result.update(
             value=int8_extras["int8_value"],
             vs_baseline=int8_extras["int8_vs_baseline"],
