@@ -237,10 +237,20 @@ def main():
         try:
             from tpuhar.serving_quant import build_quantized_forward
 
+            # calibration clips must be NHWC (the CPU calibration walk runs
+            # normalize_clip); the timed program still consumes `video`, which is
+            # patch-major for tpu_cnn towers (quant forwards detect the layout)
+            d = cfg.data
+            calib_clips = (
+                npr.random(
+                    (2, d.video_frames_per_window) + tuple(d.video_resize) + (3,)
+                ) * 255
+            ).astype(np.uint8)
+
             def time_quant(resident: bool) -> float:
                 """Chained-loop step time of one int8 serving program."""
                 qfn = build_quantized_forward(
-                    cfg, fn._variables_prefold, np.asarray(video[:2]),
+                    cfg, fn._variables_prefold, calib_clips,
                     resident=resident,
                 )
 

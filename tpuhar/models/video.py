@@ -243,6 +243,25 @@ class MobileNetV2(nn.Module):
         return jnp.mean(h, axis=(1, 2))
 
 
+class _PatchKernelParams(nn.Module):
+    """Declare an ``nn.Conv(patch×patch, use_bias=False)``-compatible stem kernel
+    without running the conv — the patch-major serving branch reshapes it to a
+    ``(patch²·3, features)`` GEMM matrix (``ops/stem.py``).  Name/shape/init match
+    ``nn.Conv`` exactly so checkpoints are interchangeable between layouts."""
+
+    features: int
+    patch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.patch, self.patch, 3, self.features),
+            jnp.float32,
+        )
+
+
 class _Conv3x3Params(nn.Module):
     """Declare an ``nn.Conv(3×3, use_bias=False)``-compatible kernel without running
     the XLA conv — the Pallas serving branch reads the param and feeds
@@ -316,13 +335,25 @@ class TPUVideoCNN(nn.Module):
             )(h)
             return nn.relu(h)
 
-        # patch-embed stem: (B, H, W, 3) → (B, H/p, W/p, widths[0]); stride==kernel
-        # lowers to reshape + GEMM on the MXU
-        h = nn.Conv(
-            self.widths[0], (self.patch, self.patch),
-            strides=(self.patch, self.patch), padding="VALID", use_bias=False,
-            dtype=self.dtype, name="stem_conv",
-        )(x)
+        # patch-embed stem.  Two input layouts share one parameter tree:
+        #
+        # - NHWC (B, H, W, 3) — training/eval path, nn.Conv(p×p, stride p).
+        #   Measured caveat (scripts/perf_stem_int8_ab.py): XLA never
+        #   GEMM-rewrites this conv — ~10 ms @4096 frames on v5e, 10% of floor.
+        # - patch-major (B, H/p, W/p, p²·3) — the serving layout (ops/stem.py):
+        #   the host ships patches contiguous, so the stem is one full-K GEMM
+        #   (~4 ms bf16, ~3.5 ms via the int8 serving path).
+        if x.shape[-1] == self.patch * self.patch * 3:
+            kernel = _PatchKernelParams(
+                self.widths[0], self.patch, name="stem_conv"
+            )()
+            h = x @ kernel.reshape(-1, self.widths[0]).astype(self.dtype)
+        else:
+            h = nn.Conv(
+                self.widths[0], (self.patch, self.patch),
+                strides=(self.patch, self.patch), padding="VALID", use_bias=False,
+                dtype=self.dtype, name="stem_conv",
+            )(x)
         h = bn_relu(h, "stem")
 
         for si, feats in enumerate(self.widths):

@@ -388,11 +388,43 @@ def quantize_tpucnn(
     return q
 
 
+def _is_patch_major(q: Dict, frames: jax.Array) -> bool:
+    """True when ``frames`` carries the serving patch-major layout
+    ``(B, H/p, W/p, p²·3)`` (ops/stem.py) instead of NHWC ``(B, H, W, 3)``."""
+    return frames.ndim == 4 and frames.shape[-1] == q["patch"] * q["patch"] * 3
+
+
+def _stem_patch_major(q: Dict, col_u8: jax.Array) -> jax.Array:
+    """Patch-major uint8 stem: one XOR + full-K int8 GEMM + requant epilogue.
+
+    Replaces the int8 conv lowering (11.06 → 3.45 ms @4096 frames on v5e —
+    ops/stem.py has the full measurement table).  Bit-identical to the
+    ``input_fold`` conv stem: same ``clip(u8−128, −127, ·)`` map, and the
+    768-term int8 dot products are exact in either accumulator.
+    """
+    from .stem import stem_gemm_u8
+
+    if not q.get("input_fold"):
+        raise ValueError(
+            "patch-major frames require a quantized tree built with input_fold "
+            "(the stem must consume raw uint8)"
+        )
+    stem = q["stem"]
+    k = stem["w_q"]
+    return stem_gemm_u8(
+        col_u8, k.reshape(-1, k.shape[-1]), stem["w_scale"], stem["bias"],
+        sub=128, clip_lo=-127, relu=True, out_dtype=jnp.float32,
+        mxu_dtype=jnp.int8,
+    )
+
+
 def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
     """int8 TPUVideoCNN feature extractor → (B, widths[-1]) f32 features.
 
     ``frames`` is (B,H,W,3): normalized f32, or RAW uint8 when the tree was built
-    with ``input_fold`` (the stem then consumes ``u8 − 128`` int8 directly).
+    with ``input_fold`` (the stem then consumes ``u8 − 128`` int8 directly) — or
+    the patch-major serving layout (B,H/p,W/p,p²·3) uint8 (``ops/stem.py``),
+    which swaps the stem conv for the measured-faster XOR+GEMM lowering.
     """
     scales = q["act_scales"]
     stages, blocks = q["layout"]
@@ -406,7 +438,9 @@ def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
         ) + packed["bias"]
         return nn.relu(y) if relu else y
 
-    if q.get("input_fold"):
+    if _is_patch_major(q, frames):
+        x = _stem_patch_major(q, frames)
+    elif q.get("input_fold"):
         x_q = jnp.clip(frames.astype(jnp.int16) - 128, -127, 127).astype(jnp.int8)
         x = nn.relu(
             int8_conv(
@@ -474,7 +508,9 @@ def quant_tpucnn_forward_resident(q: Dict, frames: jax.Array) -> jax.Array:
             return f"down{si + 1}.in"
         return None  # last block output feeds the (f32) pooled feature head
 
-    if q.get("input_fold"):
+    if _is_patch_major(q, frames):
+        y = _stem_patch_major(q, frames)
+    elif q.get("input_fold"):
         x_q = jnp.clip(frames.astype(jnp.int16) - 128, -127, 127).astype(jnp.int8)
         y = conv_f32(
             x_q, q["stem"], jnp.float32(1.0), strides=(patch, patch), pad="VALID",

@@ -152,6 +152,10 @@ class InferenceEngine:
                 return out
 
             self.folded = False
+            # tpu_cnn int8 trees are built with the uint8 input fold, so the
+            # engine ships clips patch-major: the stem becomes one XOR + full-K
+            # int8 GEMM (3.45 vs 11.06 ms @4096 frames — ops/stem.py)
+            self.patch_major = config.model.video_backbone.startswith("tpu_cnn")
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -169,6 +173,12 @@ class InferenceEngine:
 
             variables, self.folded = fold_normalization(variables, config)
         folded = self.folded
+        # folded tpu_cnn stems consume raw uint8, so the same patch-major layout
+        # win applies to the bf16 engine (~10 → ~4 ms; the model's stem GEMM
+        # branch triggers on the trailing p²·3 dim, models/video.py)
+        self.patch_major = folded and config.model.video_backbone.startswith(
+            "tpu_cnn"
+        )
         compute_dtype = jnp.dtype(config.model.compute_dtype)
 
         def forward(imu_raw, video_u8=None):
@@ -237,7 +247,19 @@ class InferenceEngine:
                 return b
         return self.batch_sizes[-1]
 
+    def _prep_video(self, video_u8):
+        """Host-side layout shuffle to the serving patch-major layout (no-op for
+        engines whose towers consume NHWC, or if the caller pre-converted)."""
+        if video_u8 is None or not getattr(self, "patch_major", False):
+            return video_u8
+        if video_u8.shape[-1] != 3:  # already patch-major
+            return video_u8
+        from .ops.stem import to_patch_major
+
+        return to_patch_major(np.asarray(video_u8))
+
     def _pad_to(self, imu_raw, video_u8, b: int):
+        video_u8 = self._prep_video(video_u8)
         n = imu_raw.shape[0]
         if n < b:
             pad = ((0, b - n),) + ((0, 0),) * (imu_raw.ndim - 1)
@@ -253,10 +275,11 @@ class InferenceEngine:
         H, W = d.video_resize
         for b in self.batch_sizes:
             imu = np.zeros((b, d.imu_window_size, d.imu_channels), np.float32)
-            args = (imu,) if self.imu_only else (
-                imu, np.zeros((b, d.video_frames_per_window, H, W, 3), np.uint8)
+            video = (
+                None if self.imu_only
+                else np.zeros((b, d.video_frames_per_window, H, W, 3), np.uint8)
             )
-            jax.block_until_ready(self._fn(*args))
+            jax.block_until_ready(self._fn(*self._pad_to(imu, video, b)))
 
     def calibrate_ood_thresholds(
         self, imu_raw, video_u8=None, *, id_fpr: float = 0.05
