@@ -83,6 +83,43 @@ def test_stem_gemm_matches_int8_conv(stem_fixture):
         )
 
 
+def test_centered_wire_encoding_exact(stem_fixture):
+    """to_patch_major(centered=True) ships clip(u8−128,−127,·) int8; the GEMM
+    consumes it directly and reproduces the uint8 path exactly (both MXU modes)."""
+    f = stem_fixture
+    wp = jnp.asarray(pack_stem_weights(f["w_q"]))
+    ws, b = jnp.asarray(f["w_scale"]), jnp.asarray(f["bias"])
+    col_u8 = jnp.asarray(to_patch_major(f["u8"], f["p"]))
+    col_c = to_patch_major(f["u8"], f["p"], centered=True)
+    assert col_c.dtype == np.int8
+    y_u = np.asarray(stem_gemm_u8(col_u8, wp, ws, b))
+    for mxu in (jnp.int8, jnp.float32):
+        y_c = np.asarray(
+            stem_gemm_u8(
+                jnp.asarray(col_c), wp if mxu == jnp.int8 else wp.astype(mxu),
+                ws, b, mxu_dtype=mxu,
+            )
+        )
+        np.testing.assert_array_equal(y_c, y_u)
+
+
+def test_quant_forward_accepts_centered_wire():
+    q, _, _ = _quant_tree()
+    npr = np.random.default_rng(5)
+    frames = (npr.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    y_u = np.asarray(
+        Q.quant_tpucnn_forward_resident(
+            q, jnp.asarray(to_patch_major(frames, q["patch"]))
+        )
+    )
+    y_c = np.asarray(
+        Q.quant_tpucnn_forward_resident(
+            q, jnp.asarray(to_patch_major(frames, q["patch"], centered=True))
+        )
+    )
+    np.testing.assert_array_equal(y_c, y_u)
+
+
 def test_stem_gemm_int8_output_quantize(stem_fixture):
     f = stem_fixture
     col = jnp.asarray(to_patch_major(f["u8"], f["p"]))

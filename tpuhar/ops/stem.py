@@ -59,19 +59,31 @@ def pack_stem_weights(kernel_hwio: jax.Array) -> jax.Array:
     return kernel_hwio.reshape(p * p * cin, c0)
 
 
-def to_patch_major(frames: np.ndarray, patch: int = 16) -> np.ndarray:
+def to_patch_major(
+    frames: np.ndarray, patch: int = 16, *, centered: bool = False
+) -> np.ndarray:
     """HOST-side layout shuffle: (..., H, W, C) uint8 → (..., Hp, Wp, patch²·C).
 
     Works on any leading batch/time dims.  This is the serving engine's clip
     layout for patch-embed towers; done once per clip at assembly time (numpy,
     ~GB/s — negligible next to JPEG decode).
+
+    ``centered=True`` additionally ships the int8 *wire encoding* the
+    quantized stem consumes: ``clip(u8 − 128, −127, ·)`` as int8 (one XOR +
+    max on the same bytes).  The device program then feeds the GEMM directly —
+    no on-device conversion pass over the 616 MB clip batch.
     """
     *lead, H, W, C = frames.shape
     Hp, Wp = H // patch, W // patch
     assert Hp * patch == H and Wp * patch == W, (frames.shape, patch)
     x = frames.reshape(*lead, Hp, patch, Wp, patch * C)
     x = np.moveaxis(x, -3, -2)  # (..., Hp, Wp, patch, patch·C)
-    return np.ascontiguousarray(x).reshape(*lead, Hp, Wp, patch * patch * C)
+    col = np.ascontiguousarray(x).reshape(*lead, Hp, Wp, patch * patch * C)
+    if centered:
+        col = np.maximum(
+            np.bitwise_xor(col.view(np.int8), np.int8(-128)), np.int8(-127)
+        )
+    return col
 
 
 def to_patch_major_jnp(frames: jax.Array, patch: int = 16) -> jax.Array:
@@ -116,24 +128,33 @@ def stem_gemm_u8(
     K, c0 = w_packed.shape
     assert col_u8.shape[-1] == K, (col_u8.shape, w_packed.shape)
     assert sub in (0, 128), "only the raw (0) and int8-centered (128) maps exist"
+    pre_centered = col_u8.dtype == jnp.int8  # wire encoding from to_patch_major(centered=True)
     if mxu_dtype == jnp.int8:
         # u8 − 128 ≡ bitcast-to-int8 XOR 0x80 (flip the top bit): one 1-byte
         # VPU op, no int16 intermediate (measured 3.45 vs 5.26 ms @4096 frames,
-        # scripts/perf_stem_gemm2.py).  sub=0 is folded into the bias by the
-        # caller via ``128·Σ_k w[k,·]`` if needed; this path assumes sub=128.
+        # scripts/perf_stem_gemm2.py).  With the centered int8 wire encoding the
+        # conversion happened on the host and the GEMM reads the input directly.
+        # sub=0 is folded into the bias by the caller via ``128·Σ_k w[k,·]`` if
+        # needed; this path assumes sub=128.
         assert sub == 128, "int8 MXU path centers at 128 (fold sub=0 into bias)"
-        x = jax.lax.bitcast_convert_type(col_u8, jnp.int8) ^ jnp.int8(-128)
-        if clip_lo is not None:
-            x = jnp.maximum(x, jnp.int8(clip_lo))
+        if pre_centered:
+            x = col_u8
+        else:
+            x = jax.lax.bitcast_convert_type(col_u8, jnp.int8) ^ jnp.int8(-128)
+            if clip_lo is not None:
+                x = jnp.maximum(x, jnp.int8(clip_lo))
         acc = jax.lax.dot_general(
             x, w_packed, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     else:
-        x = col_u8.astype(mxu_dtype)  # 0..255 exact in bf16
-        if sub:
+        x = col_u8.astype(mxu_dtype)  # u8 0..255 / centered −127..127, exact in bf16
+        if pre_centered:
+            if sub == 0:  # caller wants raw pixels back: undo the centering
+                x = x + jnp.asarray(128, mxu_dtype)
+        elif sub:
             x = x - jnp.asarray(sub, mxu_dtype)
-        if clip_lo is not None:
+        if clip_lo is not None and not pre_centered:
             x = jnp.maximum(x, jnp.asarray(clip_lo, mxu_dtype))
         acc = jax.lax.dot_general(
             x, w_packed.astype(mxu_dtype), (((x.ndim - 1,), (0,)), ((), ())),

@@ -154,8 +154,12 @@ class InferenceEngine:
             self.folded = False
             # tpu_cnn int8 trees are built with the uint8 input fold, so the
             # engine ships clips patch-major: the stem becomes one XOR + full-K
-            # int8 GEMM (3.45 vs 11.06 ms @4096 frames — ops/stem.py)
+            # int8 GEMM (3.45 vs 11.06 ms @4096 frames — ops/stem.py).  The
+            # pre-centered int8 wire (host-side XOR) measured 1.9 ms SLOWER
+            # end-to-end: the device XOR fuses into the adjacent copy for free
+            # and doubles as the GEMM operand repack, so uint8 stays the wire.
             self.patch_major = config.model.video_backbone.startswith("tpu_cnn")
+            self._wire_centered = False
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -179,6 +183,7 @@ class InferenceEngine:
         self.patch_major = folded and config.model.video_backbone.startswith(
             "tpu_cnn"
         )
+        self._wire_centered = False  # bf16 stems consume raw 0..255 pixels
         compute_dtype = jnp.dtype(config.model.compute_dtype)
 
         def forward(imu_raw, video_u8=None):
@@ -256,7 +261,9 @@ class InferenceEngine:
             return video_u8
         from .ops.stem import to_patch_major
 
-        return to_patch_major(np.asarray(video_u8))
+        return to_patch_major(
+            np.asarray(video_u8), centered=getattr(self, "_wire_centered", False)
+        )
 
     def _pad_to(self, imu_raw, video_u8, b: int):
         video_u8 = self._prep_video(video_u8)
