@@ -118,8 +118,30 @@ def run_backbone(args, cfg, backbone, dfs):
     from tpuhar.train.factory import build_fusion_task
     from tpuhar.train.loop import ClassificationTrainer
 
+    from tpuhar.data.preprocess import (
+        FINGERPRINT_FILENAME,
+        data_fingerprint,
+    )
+
     train_df, val_df, test_df = dfs
     result = {"backbone": backbone}
+
+    # Checkpoint↔data binding: --resume may only reuse checkpoints trained on
+    # byte-identical preprocessed data (the shared dir is regenerated every
+    # run; a data-affecting code change between runs silently permutes the
+    # model/data pairing otherwise — caught live 2026-08-19 as id-acc 99 → 5).
+    current_fp = data_fingerprint(cfg.paths.preprocessed_dir)
+    tower_fp_path = Path(cfg.paths.checkpoints_dir) / FINGERPRINT_FILENAME
+    if args.resume and tower_fp_path.exists():
+        recorded_fp = json.loads(tower_fp_path.read_text())
+        if recorded_fp != current_fp:
+            log(
+                f"[{backbone}] DATA FINGERPRINT MISMATCH: existing checkpoints "
+                "were trained on a different regeneration of the shared "
+                "preprocessed data — ignoring --resume and retraining"
+            )
+            args = copy.copy(args)
+            args.resume = False
 
     # ---- full-class supervised fusion training ------------------------------------
     loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="fusion")
@@ -176,6 +198,9 @@ def run_backbone(args, cfg, backbone, dfs):
         log(f"[{backbone}] OOD mean AUROC: " + ", ".join(
             f"{s}={result[f'auroc_{s}']:.3f}" for s in sorted(
                 set(ood_df['score']))))
+    # bind this tower's checkpoints to the data they were trained/scored on
+    tower_fp_path.parent.mkdir(parents=True, exist_ok=True)
+    tower_fp_path.write_text(json.dumps(current_fp, indent=2))
     return result
 
 

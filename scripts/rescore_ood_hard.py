@@ -59,6 +59,10 @@ def parse_args():
         help="cap windows per split (CPU smoke only — AUROCs are not comparable)",
     )
     p.add_argument("--out", default="docs/ood_rescore_hard.json")
+    p.add_argument(
+        "--allow-data-mismatch", action="store_true",
+        help="skip the checkpoint↔data fingerprint check",
+    )
     return p.parse_args()
 
 
@@ -101,8 +105,17 @@ def main():
     cal_names = ["msp_cal", "energy_cal"]
     classes = [int(x) for x in args.classes.split(",")]
 
+    from tpuhar.data.preprocess import FINGERPRINT_FILENAME, verify_data_fingerprint
+
     all_rows = []
     for tower in args.towers.split(","):
+        # refuse to score checkpoints against data they were not trained on
+        if not args.allow_data_mismatch:
+            verify_data_fingerprint(
+                root / tower / "checkpoints" / FINGERPRINT_FILENAME,
+                root / "preprocessed",
+                context=f"{tower} checkpoints",
+            )
         # identical config construction to scripts/bench_accuracy.py::build_config
         cfg = make_synthetic_config(
             root / "fixture", root / tower,

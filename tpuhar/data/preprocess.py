@@ -29,6 +29,96 @@ from ..ops import featurize as F
 from . import manifest as M
 
 
+def data_fingerprint(
+    preprocessed_dir, splits=("train", "val", "test")
+) -> Dict[str, str]:
+    """sha256 digest of the serving-relevant preprocessed artifacts, per split.
+
+    Covers exactly what a trained checkpoint is bound to: the packed IMU window
+    bank (``{split}_windows.npy``), the JPEG frame bank + its index
+    (``{split}_frames.bin`` / ``{split}_frame_index.npy``), and the metadata
+    *label sequence* (row→label pairing).  Deliberately path-independent — the
+    CSV's absolute ``imu_window_path`` prefixes differ between output roots
+    while the data is identical — so two byte-identical regenerations into
+    different directories produce equal fingerprints.
+
+    Motivation (caught live, 2026-08-19): ``scripts/bench_accuracy.py``
+    regenerates the shared preprocessed dir on every invocation while
+    ``--resume`` reuses checkpoints from an earlier one.  When a
+    data-affecting code change lands between the two runs, every cross-run
+    scorer (``validate_int8_ood``, ``rescore_ood_hard``) silently scores a
+    model against data it was never trained on — observed as a clean class
+    permutation (id-acc 99 → 5) that left label-free OOD scores looking
+    plausible.  Checkpoint writers record this fingerprint; cross-run readers
+    verify it and fail loudly instead.
+    """
+    import hashlib
+
+    d = Path(preprocessed_dir)
+    out: Dict[str, str] = {}
+    for split in splits:
+        h = hashlib.sha256()
+        found = False
+        for name in (
+            f"{split}_windows.npy",
+            f"{split}_frames.bin",
+            f"{split}_frame_index.npy",
+        ):
+            p = d / name
+            if p.exists():
+                found = True
+                h.update(name.encode())
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 22), b""):
+                        h.update(chunk)
+        meta = d / f"{split}_metadata.csv"
+        if meta.exists():
+            found = True
+            labels = pd.read_csv(meta, usecols=["label"])["label"]
+            h.update(b"labels")
+            h.update(np.asarray(labels, np.int64).tobytes())
+        if found:
+            out[split] = h.hexdigest()
+    return out
+
+
+FINGERPRINT_FILENAME = "data_fingerprint.json"
+
+
+def verify_data_fingerprint(
+    recorded_path, preprocessed_dir, *, context: str = ""
+) -> bool:
+    """Compare a checkpoint's recorded fingerprint against the current data.
+
+    Returns True when they match (or the recorded file doesn't exist — legacy
+    checkpoints predate the guard; a warning is printed).  Raises RuntimeError
+    on a mismatch: scoring would silently compare a model against data it was
+    never trained on.
+    """
+    recorded_path = Path(recorded_path)
+    if not recorded_path.exists():
+        print(
+            f"WARNING{f' [{context}]' if context else ''}: no recorded data "
+            f"fingerprint at {recorded_path} (checkpoints predate the guard); "
+            "results are only valid if the preprocessed data is unchanged "
+            "since training"
+        )
+        return True
+    recorded = json.loads(recorded_path.read_text())
+    current = data_fingerprint(preprocessed_dir, splits=tuple(recorded))
+    if recorded != current:
+        bad = sorted(k for k in recorded if current.get(k) != recorded[k])
+        raise RuntimeError(
+            f"data fingerprint mismatch{f' [{context}]' if context else ''}: "
+            f"splits {bad} under {preprocessed_dir} differ from what these "
+            f"checkpoints were trained on ({recorded_path}). The shared "
+            "preprocessed data was regenerated differently since training — "
+            "retrain (or re-point --root) instead of scoring a mismatched "
+            "model/data pair."
+        )
+    return True
+
+
 def _bucket_length(n: int, window: int, max_len: int) -> int:
     """Static bucket for a length-n sequence: next power-of-two >= max(n, window)."""
     b = max(window, 256)
@@ -471,6 +561,10 @@ class Preprocessor:
         stats_path.parent.mkdir(parents=True, exist_ok=True)
         with open(stats_path, "w", encoding="utf-8") as f:
             json.dump(stats, f, indent=2)
+        fp_path = Path(self.paths.preprocessed_dir) / FINGERPRINT_FILENAME
+        fp_path.write_text(
+            json.dumps(data_fingerprint(self.paths.preprocessed_dir), indent=2)
+        )
         return results
 
 
