@@ -198,9 +198,12 @@ def run_backbone(args, cfg, backbone, dfs):
         log(f"[{backbone}] OOD mean AUROC: " + ", ".join(
             f"{s}={result[f'auroc_{s}']:.3f}" for s in sorted(
                 set(ood_df['score']))))
-    # bind this tower's checkpoints to the data they were trained/scored on
+    # bind this tower's checkpoints to the data they were trained/scored on,
+    # and record the exact config so cross-run scorers can rebuild the model
+    # (reconstruction-by-convention breaks the moment a size knob differs)
     tower_fp_path.parent.mkdir(parents=True, exist_ok=True)
     tower_fp_path.write_text(json.dumps(current_fp, indent=2))
+    cfg.save(Path(cfg.paths.checkpoints_dir) / "config.json")
     return result
 
 

@@ -117,12 +117,18 @@ def main():
                 context=f"{tower} checkpoints",
             )
         # identical config construction to scripts/bench_accuracy.py::build_config
-        cfg = make_synthetic_config(
-            root / "fixture", root / tower,
-            num_classes=6, video_backbone=tower,
-            video_resize=(224, 224), train_batch_size=args.batch,
-        )
-        cfg.data.video_frames_per_window = 16
+        saved_cfg = root / tower / "checkpoints" / "config.json"
+        if saved_cfg.exists():
+            from tpuhar.config import Config
+
+            cfg = Config.load(saved_cfg)
+        else:
+            cfg = make_synthetic_config(
+                root / "fixture", root / tower,
+                num_classes=6, video_backbone=tower,
+                video_resize=(224, 224), train_batch_size=args.batch,
+            )
+            cfg.data.video_frames_per_window = 16
         cfg.data.featurize_backend = "host"
         cfg.paths.preprocessed_dir = root / "preprocessed"
 
