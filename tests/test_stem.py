@@ -83,6 +83,32 @@ def test_stem_gemm_matches_int8_conv(stem_fixture):
         )
 
 
+def test_stem_gemm_byte_map_exhaustive():
+    """Every uint8 value through the fused int8-GEMM input map, vs the exact
+    integer reference clip(u8−128, −127, 127).
+
+    Pins the uint8-space formulation (max then xor then bitcast) in
+    ``stem_gemm_u8``: the naive int8-space chain (bitcast, ^−128, max −127)
+    MISCOMPILES when fused with the consuming dot_general on TPU (jax 0.9.0,
+    v5e — wrong results for half the byte range; bisect ladder in
+    scripts/debug_pm_micro{,2,3}.py, caught live as id-acc 98.6→23.3 in
+    validate_int8_ood).  CPU lowers both correctly, so this test pins the
+    semantics; scripts/debug_pm_tpu.py is the on-chip check.
+    """
+    K = 256
+    col = np.arange(256, dtype=np.uint8).reshape(1, 1, 1, K)
+    w = np.eye(K, dtype=np.int8)  # identity weight → output IS the mapped input
+    y = np.asarray(
+        stem_gemm_u8(
+            jnp.asarray(col), jnp.asarray(w),
+            jnp.ones((K,), np.float32), jnp.zeros((K,), np.float32),
+            sub=128, clip_lo=-127, relu=False, mxu_dtype=jnp.int8,
+        )
+    ).reshape(K)
+    ref = np.clip(np.arange(256, dtype=np.int32) - 128, -127, 127)
+    np.testing.assert_array_equal(y.astype(np.int32), ref)
+
+
 def test_centered_wire_encoding_exact(stem_fixture):
     """to_patch_major(centered=True) ships clip(u8−128,−127,·) int8; the GEMM
     consumes it directly and reproduces the uint8 path exactly (both MXU modes)."""

@@ -140,9 +140,20 @@ def stem_gemm_u8(
         if pre_centered:
             x = col_u8
         else:
-            x = jax.lax.bitcast_convert_type(col_u8, jnp.int8) ^ jnp.int8(-128)
+            # The byte map stays ENTIRELY in uint8 before one final bitcast.
+            # The obvious int8 formulation — bitcast, then ^(-128), then
+            # maximum(·, −127) — MISCOMPILES on the TPU backend (jax 0.9.0,
+            # v5e): standalone, int8 maximum returns −128 for max(−128,−127);
+            # fused with the consuming dot_general, the whole xor+max chain
+            # returns wrong values for half the byte range
+            # (scripts/debug_pm_micro{,2,3}.py hold the bisect ladder; CPU is
+            # exact either way).  In u8 space the same map is
+            # max(u8, clip_lo+128) then ^128, and both ops lower correctly —
+            # verified exact at every byte value, standalone AND fused.
+            x = col_u8
             if clip_lo is not None:
-                x = jnp.maximum(x, jnp.int8(clip_lo))
+                x = jnp.maximum(x, jnp.uint8(clip_lo + 128))
+            x = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
         acc = jax.lax.dot_general(
             x, w_packed, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
