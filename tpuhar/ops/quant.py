@@ -394,13 +394,19 @@ def _is_patch_major(q: Dict, frames: jax.Array) -> bool:
     return frames.ndim == 4 and frames.shape[-1] == q["patch"] * q["patch"] * 3
 
 
-def _stem_patch_major(q: Dict, col_u8: jax.Array) -> jax.Array:
+def _stem_patch_major(
+    q: Dict, col_u8: jax.Array, *, out_scale=None, out_dtype=jnp.float32
+) -> jax.Array:
     """Patch-major uint8 stem: one XOR + full-K int8 GEMM + requant epilogue.
 
     Replaces the int8 conv lowering (11.06 → 3.45 ms @4096 frames on v5e —
     ops/stem.py has the full measurement table).  Bit-identical to the
     ``input_fold`` conv stem: same ``clip(u8−128, −127, ·)`` map, and the
     768-term int8 dot products are exact in either accumulator.
+
+    ``out_scale`` fuses the follow-on ``quantize_activations`` into the GEMM
+    epilogue (same round/clip semantics — bit-exact), so the resident path
+    never materializes the f32 stem activation (822 MB at the serving shape).
     """
     from .stem import stem_gemm_u8
 
@@ -413,8 +419,8 @@ def _stem_patch_major(q: Dict, col_u8: jax.Array) -> jax.Array:
     k = stem["w_q"]
     return stem_gemm_u8(
         col_u8, k.reshape(-1, k.shape[-1]), stem["w_scale"], stem["bias"],
-        sub=128, clip_lo=-127, relu=True, out_dtype=jnp.float32,
-        mxu_dtype=jnp.int8,
+        sub=128, clip_lo=-127, relu=True, out_scale=out_scale,
+        out_dtype=out_dtype, mxu_dtype=jnp.int8,
     )
 
 
@@ -508,21 +514,28 @@ def quant_tpucnn_forward_resident(q: Dict, frames: jax.Array) -> jax.Array:
             return f"down{si + 1}.in"
         return None  # last block output feeds the (f32) pooled feature head
 
+    site = "s0b0.in"
     if _is_patch_major(q, frames):
-        y = _stem_patch_major(q, frames)
-    elif q.get("input_fold"):
-        x_q = jnp.clip(frames.astype(jnp.int16) - 128, -127, 127).astype(jnp.int8)
-        y = conv_f32(
-            x_q, q["stem"], jnp.float32(1.0), strides=(patch, patch), pad="VALID",
-            relu=True,
+        # producer-side quantize fused into the stem GEMM epilogue (bit-exact
+        # vs quantize_activations) — skips the 822 MB f32 stem intermediate
+        x_q = _stem_patch_major(
+            q, frames, out_scale=scales[site], out_dtype=jnp.int8
         )
     else:
-        y = conv_f32(
-            quantize_activations(frames, scales["stem"]), q["stem"], scales["stem"],
-            strides=(patch, patch), pad="VALID", relu=True,
-        )
-    site = "s0b0.in"
-    x_q = quantize_activations(y, scales[site])
+        if q.get("input_fold"):
+            x_in = jnp.clip(frames.astype(jnp.int16) - 128, -127, 127).astype(
+                jnp.int8
+            )
+            y = conv_f32(
+                x_in, q["stem"], jnp.float32(1.0), strides=(patch, patch),
+                pad="VALID", relu=True,
+            )
+        else:
+            y = conv_f32(
+                quantize_activations(frames, scales["stem"]), q["stem"],
+                scales["stem"], strides=(patch, patch), pad="VALID", relu=True,
+            )
+        x_q = quantize_activations(y, scales[site])
     for si in range(stages):
         if si > 0:
             y = conv_f32(

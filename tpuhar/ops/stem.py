@@ -175,7 +175,7 @@ def stem_gemm_u8(
     if relu:
         y = jnp.maximum(y, 0.0)
     if out_scale is not None:
-        y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+        y = jnp.clip(jnp.round(y / out_scale), -127, 127)
     return y.astype(out_dtype)
 
 
@@ -247,7 +247,7 @@ def stem_gemm_u8_pallas(
         if relu:
             y = jnp.maximum(y, 0.0)
         if out_scale is not None:
-            y = jnp.clip(jnp.round(y * (1.0 / out_scale)), -127, 127)
+            y = jnp.clip(jnp.round(y / out_scale), -127, 127)
         o_ref[...] = y.astype(o_ref.dtype)
 
     out = pl.pallas_call(
