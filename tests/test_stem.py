@@ -109,6 +109,28 @@ def test_stem_gemm_byte_map_exhaustive():
     np.testing.assert_array_equal(y.astype(np.int32), ref)
 
 
+def test_verify_byte_map_preflight():
+    """The deployable preflight passes on a correct backend and raises with a
+    diagnostic when the mapped values are wrong (simulated via a patched map)."""
+    from tpuhar.ops import stem as stem_mod
+
+    stem_mod.verify_byte_map()  # CPU lowers the map correctly
+
+    orig = stem_mod.stem_gemm_u8
+
+    def broken(col, w, scale, bias, **kw):
+        # simulate the TPU miscompile: sign-flip half the byte range
+        y = orig(col, w, scale, bias, **kw)
+        return -y
+
+    stem_mod.stem_gemm_u8 = broken
+    try:
+        with pytest.raises(RuntimeError, match="MISCOMPILES"):
+            stem_mod.verify_byte_map()
+    finally:
+        stem_mod.stem_gemm_u8 = orig
+
+
 def test_centered_wire_encoding_exact(stem_fixture):
     """to_patch_major(centered=True) ships clip(u8−128,−127,·) int8; the GEMM
     consumes it directly and reproduces the uint8 path exactly (both MXU modes)."""
@@ -173,16 +195,11 @@ def test_stem_gemm_pallas_interpret(stem_fixture):
             mxu_dtype=jnp.int8, interpret=True,
         )
     )
-    # the Pallas map is the exact u8−128 (no −127 clip): only u8==0 pixels may
-    # differ, by exactly one weight-scale LSB through the GEMM
-    mask = (f["u8"] == 0).any()
+    # the clip_lo map now runs in uint8 space outside the kernel, so the
+    # Pallas variant matches int8_conv exactly — including u8==0 pixels
+    # (the fixture pins a block of them)
     ref = f["y_conv"].reshape(y.shape)
-    if not mask:
-        np.testing.assert_allclose(y, ref, atol=1e-4)
-    else:
-        # bounded by |Σ_k w_q[k,·]| · w_scale over the affected patches
-        bound = (np.abs(f["w_q"]).sum(axis=(0, 1, 2)) * f["w_scale"]).max()
-        assert np.max(np.abs(y - ref)) <= bound + 1e-4
+    np.testing.assert_allclose(y, ref, atol=1e-4)
 
 
 def _quant_tree(kernel_free=False):

@@ -187,6 +187,48 @@ def stem_gemm_reference(
     return stem_gemm_u8(col, w_packed, scale, bias, **kw)
 
 
+def verify_byte_map(device=None) -> None:
+    """Preflight: prove the fused int8 byte map is exact ON THIS BACKEND.
+
+    Runs every uint8 value through the ``stem_gemm_u8`` input map fused with
+    an identity-weight int8 GEMM and compares against the exact integer
+    reference ``clip(u8 − 128, −127, 127)``.  Raises ``RuntimeError`` on any
+    mismatch.
+
+    Exists because backends can miscompile this exact pattern: on TPU v5e
+    (jax 0.9.0) the int8-space formulation (bitcast → XOR −128 → max −127)
+    fused into the consuming dot_general returned wrong values for half the
+    byte range while CPU was exact (caught live as id-acc 98.6 → 23.3;
+    bisect ladder in scripts/debug_pm_micro{,2,3}.py).  The shipped u8-space
+    map is verified exact, but a jax/XLA upgrade could regress it silently —
+    serving deployments should run this once at engine build
+    (``InferenceEngine(..., verify_byte_map=True)``), and the cross-run OOD
+    scorers run it before spending minutes scoring a miscompiled program.
+
+    Cost: one tiny (1×256)×(256×256) GEMM compile + run on ``device``
+    (defaults to the backend ``jax.jit`` would pick).
+    """
+    col = np.arange(256, dtype=np.uint8).reshape(1, 256)
+    w = np.eye(256, dtype=np.int8)
+    fn = jax.jit(
+        lambda c, w: stem_gemm_u8(
+            c, w, jnp.ones((256,), jnp.float32), jnp.zeros((256,), jnp.float32),
+            sub=128, clip_lo=-127, relu=False, mxu_dtype=jnp.int8,
+        ),
+        device=device,
+    )
+    got = np.asarray(fn(col, w)).reshape(256).astype(np.int32)
+    ref = np.clip(np.arange(256, dtype=np.int32) - 128, -127, 127)
+    bad = np.flatnonzero(got != ref)
+    if bad.size:
+        raise RuntimeError(
+            f"int8 stem byte map MISCOMPILES on this backend: {bad.size}/256 "
+            f"byte values wrong (first: u8={bad[0]} -> {got[bad[0]]}, want "
+            f"{ref[bad[0]]}). The patch-major int8 serving path would produce "
+            "garbage logits — do not serve. See tpuhar/ops/stem.py."
+        )
+
+
 def _pick_block_rows(M: int, target: int) -> int:
     """Largest divisor of M ≤ target that keeps sublanes aligned (mult of 8)."""
     best = 8 if M % 8 == 0 else 1
@@ -205,6 +247,7 @@ def stem_gemm_u8_pallas(
     bias: jax.Array,
     *,
     sub: int = 128,
+    clip_lo: Optional[int] = -127,
     relu: bool = True,
     out_scale: Optional[float] = None,
     out_dtype=jnp.float32,
@@ -221,9 +264,10 @@ def stem_gemm_u8_pallas(
     materialized int8 intermediate.  Measured SLOWER than the XLA path (5.70
     vs 3.45 ms @4096 frames) — kept as the documented negative result, off by
     default.  Two toolchain limits shaped it: only 2D int8 blocks compile,
-    and ``jnp.maximum`` on int8 SIGABRTs Mosaic — hence the exact ``u8 − 128``
-    map with NO −127 clip (one-LSB difference vs ``int8_conv`` on pure-black
-    pixels; the XLA path keeps ``clip_lo`` available).
+    and ``jnp.maximum`` on int8 SIGABRTs Mosaic — so the ``clip_lo`` map runs
+    in uint8 space OUTSIDE the kernel (one extra VPU pass; the same u8-space
+    formulation the XLA path fuses for free — see ``stem_gemm_u8``), keeping
+    the kernel itself XOR-only and the output bit-exact vs ``int8_conv``.
     """
     from jax.experimental import pallas as pl
 
@@ -233,7 +277,10 @@ def stem_gemm_u8_pallas(
     assert col_u8.shape[-1] == K
     assert sub == 128, "pallas path centers at 128 (fold sub=0 into bias)"
     BM = _pick_block_rows(M, block_rows)
-    x2 = jax.lax.bitcast_convert_type(col_u8.reshape(M, K), jnp.int8)
+    x_u8 = col_u8.reshape(M, K)
+    if clip_lo is not None:
+        x_u8 = jnp.maximum(x_u8, jnp.uint8(clip_lo + 128))
+    x2 = jax.lax.bitcast_convert_type(x_u8, jnp.int8)
     acc_t = jnp.int32 if mxu_dtype == jnp.int8 else jnp.float32
 
     def kernel(x_ref, w_ref, s_ref, b_ref, o_ref):

@@ -59,6 +59,7 @@ class InferenceEngine:
         quantize_calib_clips=None,
         quantize_calib_imu=None,
         quantize_resident: bool = False,
+        verify_byte_map: bool = False,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -105,6 +106,7 @@ class InferenceEngine:
             quantize_calib_clips=quantize_calib_clips,
             quantize_calib_imu=quantize_calib_imu,
             quantize_resident=quantize_resident,
+            verify_byte_map=verify_byte_map,
         )
         self.config = config
         self.imu_only = imu_only
@@ -160,6 +162,13 @@ class InferenceEngine:
             # and doubles as the GEMM operand repack, so uint8 stays the wire.
             self.patch_major = config.model.video_backbone.startswith("tpu_cnn")
             self._wire_centered = False
+            if verify_byte_map and self.patch_major:
+                # one tiny GEMM compile: prove the fused int8 byte map is
+                # exact on THIS backend before serving through it (backends
+                # have miscompiled it — ops/stem.verify_byte_map docstring)
+                from .ops.stem import verify_byte_map as _verify
+
+                _verify()
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
