@@ -237,6 +237,15 @@ def main():
         try:
             from tpuhar.serving_quant import build_quantized_forward
 
+            # one tiny GEMM proving the fused int8 byte map is exact on this
+            # backend BEFORE timing it (the pattern has miscompiled here —
+            # ops/stem.verify_byte_map); a failure falls through to the bf16
+            # headline instead of publishing a number for a wrong program
+            from tpuhar.ops.stem import verify_byte_map
+
+            verify_byte_map()
+            log("int8 byte-map preflight: exact on this backend")
+
             # calibration clips must be NHWC (the CPU calibration walk runs
             # normalize_clip); the timed program still consumes `video`, which is
             # patch-major for tpu_cnn towers (quant forwards detect the layout)
@@ -247,10 +256,10 @@ def main():
                 ) * 255
             ).astype(np.uint8)
             # The int8 program consumes the same patch-major uint8 wire as bf16.
-            # A pre-centered int8 wire (host-side XOR) was measured 1.9 ms SLOWER
-            # end-to-end (13,825 vs 15,450 inf/s resident): the device-side XOR
-            # fuses into the adjacent copy for free and doubles as the GEMM
-            # operand repack — negative result, uint8 stays the wire encoding.
+            # A pre-centered int8 wire (host-side XOR) once measured 1.9 ms
+            # slower end-to-end — but that was with the since-fixed miscompiled
+            # byte map, so the comparison is void; perf_stem_gemm3.py re-runs
+            # the A/B with correct numerics before any wire change.
             video_q = video
 
             def time_quant(resident: bool) -> float:
