@@ -177,6 +177,8 @@ def main():
         kw["quantize_calib_clips"] = (
             rng.random((4, args.frames, args.resize, args.resize, 3)) * 255
         ).astype(np.uint8)
+    if "quantize_calib_clips" in kw:
+        kw["verify_byte_map"] = True  # prove the int8 stem map before timing it
     engine = InferenceEngine(cfg, variables, batch_sizes=[args.batch], **kw)
     log(f"compiling engine batch={args.batch} ...")
     t0 = time.perf_counter()
