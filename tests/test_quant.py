@@ -240,3 +240,38 @@ def test_resnet18_resident_matches_baseline(rng):
     assert rel < 0.02, f"resident drift {rel:.4f}"
     corr = np.corrcoef(res.ravel(), base.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_device_put_qtree_metadata_stays_static(rng):
+    """A fully ``jax.device_put``'d quantized tree must still drive the jitted
+    forwards: device_put turns the tree's Python-int metadata (patch, layout)
+    into 0-d arrays, and any staged op on those under jit yields a tracer
+    (regression: TracerBoolConversionError in _is_patch_major, caught live by
+    scripts/perf_stem_gemm3.py)."""
+    from tpuhar.models.video import TPUVideoCNN
+    from tpuhar.ops.quant import (
+        calibrate_tpucnn,
+        quant_tpucnn_forward,
+        quant_tpucnn_forward_resident,
+        quantize_tpucnn,
+    )
+    from tpuhar.ops.stem import to_patch_major
+    from tpuhar.ops.video import IMAGENET_MEAN, IMAGENET_STD, normalize_clip
+
+    net = TPUVideoCNN(widths=(32, 64), patch=8, blocks_per_stage=1)
+    u8 = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    normalized = np.asarray(normalize_clip(jnp.asarray(u8)[None])[0])
+    variables = net.init(KEY, jnp.asarray(normalized), train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    stats = calibrate_tpucnn(params, bs, normalized)
+    q = quantize_tpucnn(
+        params, bs, stats, input_fold=(IMAGENET_MEAN, IMAGENET_STD)
+    )
+    q_dev = jax.device_put(q)
+    pm = to_patch_major(u8, patch=8)
+
+    for fwd in (quant_tpucnn_forward, quant_tpucnn_forward_resident):
+        for x in (u8, pm):
+            ref = np.asarray(jax.jit(lambda a: fwd(q, a))(jnp.asarray(x)))
+            got = np.asarray(jax.jit(lambda a: fwd(q_dev, a))(jnp.asarray(x)))
+            np.testing.assert_array_equal(got, ref)

@@ -388,10 +388,32 @@ def quantize_tpucnn(
     return q
 
 
+def _static_int(v, name: str) -> int:
+    """Coerce quantized-tree scalar metadata to a Python int.
+
+    ``jax.device_put(qtree)`` turns the tree's Python-int metadata into 0-d
+    device arrays; any *staged op* on those inside a jit trace yields a tracer
+    (omnistaging), which breaks layout detection and stride arguments. Concrete
+    0-d arrays coerce fine; a traced value gets a clear error instead of a
+    TracerBoolConversionError deep in the forward.
+    """
+    if isinstance(v, int):
+        return v
+    try:
+        return int(np.asarray(v))
+    except jax.errors.ConcretizationTypeError as e:
+        raise ValueError(
+            f"quantized-tree metadata {name!r} must be static (a Python int or "
+            "concrete array), but it is a traced value — pass the quantized "
+            "tree as a closure/constant, not as a jit argument"
+        ) from e
+
+
 def _is_patch_major(q: Dict, frames: jax.Array) -> bool:
     """True when ``frames`` carries the serving patch-major layout
     ``(B, H/p, W/p, p²·3)`` (ops/stem.py) instead of NHWC ``(B, H, W, 3)``."""
-    return frames.ndim == 4 and frames.shape[-1] == q["patch"] * q["patch"] * 3
+    p = _static_int(q["patch"], "patch")
+    return frames.ndim == 4 and frames.shape[-1] == p * p * 3
 
 
 def _stem_patch_major(
@@ -433,8 +455,8 @@ def quant_tpucnn_forward(q: Dict, frames: jax.Array) -> jax.Array:
     which swaps the stem conv for the measured-faster XOR+GEMM lowering.
     """
     scales = q["act_scales"]
-    stages, blocks = q["layout"]
-    patch = q["patch"]
+    stages, blocks = (_static_int(v, "layout") for v in q["layout"])
+    patch = _static_int(q["patch"], "patch")
 
     def qconv(x, packed, site, *, strides, pad, relu):
         xs = scales[site]
@@ -496,8 +518,8 @@ def quant_tpucnn_forward_resident(q: Dict, frames: jax.Array) -> jax.Array:
     rounding error on the skip path per block (bounded by the drift tests).
     """
     scales = q["act_scales"]
-    stages, blocks = q["layout"]
-    patch = q["patch"]
+    stages, blocks = (_static_int(v, "layout") for v in q["layout"])
+    patch = _static_int(q["patch"], "patch")
 
     def conv_f32(x_q, packed, x_scale, *, strides, pad, relu):
         y = int8_conv(
