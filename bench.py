@@ -255,12 +255,21 @@ def main():
                     (2, d.video_frames_per_window) + tuple(d.video_resize) + (3,)
                 ) * 255
             ).astype(np.uint8)
-            # The int8 program consumes the same patch-major uint8 wire as bf16.
-            # A pre-centered int8 wire (host-side XOR) once measured 1.9 ms
-            # slower end-to-end — but that was with the since-fixed miscompiled
-            # byte map, so the comparison is void; perf_stem_gemm3.py re-runs
-            # the A/B with correct numerics before any wire change.
-            video_q = video
+            # The int8 program consumes the PRE-CENTERED int8 patch-major wire
+            # (host applies clip(u8−128, −127, ·)): measured faster than the
+            # uint8 wire once the byte-map miscompile was fixed
+            # (perf_stem_gemm3: tower 14.92 vs 15.07 ms @4096 frames — the old
+            # "1.9 ms slower" rejection was an artifact of the miscompiled
+            # map).  Matches InferenceEngine's serving wire (serving.py).
+            if video_ex.shape[-1] != 3:  # patch-major tower
+                video_q = jax.device_put(
+                    np.clip(
+                        np.asarray(jax.device_get(video)).astype(np.int16) - 128,
+                        -127, 127,
+                    ).astype(np.int8)
+                )
+            else:
+                video_q = video
 
             def time_quant(resident: bool) -> float:
                 """Chained-loop step time of one int8 serving program."""

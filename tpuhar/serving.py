@@ -155,13 +155,17 @@ class InferenceEngine:
 
             self.folded = False
             # tpu_cnn int8 trees are built with the uint8 input fold, so the
-            # engine ships clips patch-major: the stem becomes one XOR + full-K
-            # int8 GEMM (3.45 vs 11.06 ms @4096 frames — ops/stem.py).  The
-            # pre-centered int8 wire (host-side XOR) measured 1.9 ms SLOWER
-            # end-to-end: the device XOR fuses into the adjacent copy for free
-            # and doubles as the GEMM operand repack, so uint8 stays the wire.
+            # engine ships clips patch-major: the stem becomes one full-K int8
+            # GEMM (3.1-3.5 vs 11.06 ms @4096 frames — ops/stem.py), and the
+            # wire is PRE-CENTERED int8 (host applies clip(u8−128, −127, ·) in
+            # the same numpy pass as the patch shuffle): no on-device byte map
+            # at all.  Re-measured after the byte-map miscompile fix
+            # (perf_stem_gemm3): centered 14.92 vs u8 15.07 ms on the full
+            # resident tower @4096 frames — the earlier "1.9 ms slower"
+            # rejection was an artifact of the miscompiled map.  Both wires
+            # stay bit-exact and supported (stem_gemm_u8 branches on dtype).
             self.patch_major = config.model.video_backbone.startswith("tpu_cnn")
-            self._wire_centered = False
+            self._wire_centered = True
             if verify_byte_map and self.patch_major:
                 # one tiny GEMM compile: prove the fused int8 byte map is
                 # exact on THIS backend before serving through it (backends
