@@ -165,6 +165,7 @@ def main():
         return acc
 
     iters = 20 if platform != "cpu" else 2
+    trials = 5 if platform != "cpu" else 2
 
     def run(k):
         t0 = time.perf_counter()
@@ -172,13 +173,28 @@ def main():
         _ = float(np.asarray(val))  # host readback = true completion
         return time.perf_counter() - t0
 
+    def measure_trials(run_fn, n_trials=trials):
+        """Per-trial step time: (t(iters) − t(1)) / (iters − 1), n_trials times.
+
+        A single-shot min-of-2 is not a headline (VERDICT r3): the axon tunnel
+        drifts run-to-run, so every published step time carries a median and
+        the full trial list.  Each trial pairs its own t(1) with its own
+        t(iters) so a slow dispatch perturbs one trial, not the aggregate.
+        """
+        steps = []
+        for _ in range(n_trials):
+            t1 = run_fn(1)
+            tk = run_fn(iters)
+            steps.append((tk - t1) / (iters - 1))
+        return steps
+
     run(1)  # compile chained(1)
     run(iters)  # compile chained(iters)
-    t1 = min(run(1) for _ in range(2))
-    tk = min(run(iters) for _ in range(2))
-    step_s = (tk - t1) / (iters - 1)
+    step_trials = measure_trials(run)
+    step_s = float(np.median(step_trials))
     throughput = batch / step_s
     step_ms = step_s * 1e3
+    step_trials_ms = [round(s * 1e3, 3) for s in step_trials]
 
     # p50 end-to-end batch latency (dispatch + execute + scalar readback)
     lat = []
@@ -255,24 +271,28 @@ def main():
                     (2, d.video_frames_per_window) + tuple(d.video_resize) + (3,)
                 ) * 255
             ).astype(np.uint8)
-            # The int8 program consumes the PRE-CENTERED int8 patch-major wire
-            # (host applies clip(u8−128, −127, ·)): measured faster than the
-            # uint8 wire once the byte-map miscompile was fixed
-            # (perf_stem_gemm3: tower 14.92 vs 15.07 ms @4096 frames — the old
-            # "1.9 ms slower" rejection was an artifact of the miscompiled
-            # map).  Matches InferenceEngine's serving wire (serving.py).
-            if video_ex.shape[-1] != 3:  # patch-major tower
-                video_q = jax.device_put(
-                    np.clip(
-                        np.asarray(jax.device_get(video)).astype(np.int16) - 128,
-                        -127, 127,
-                    ).astype(np.int8)
-                )
-            else:
-                video_q = video
+            # Wire encoding A/B, settled at the BENCH level (VERDICT r3): the
+            # patch-major int8 program accepts either the raw uint8 wire (the
+            # device fuses clip(u8−128,−127,·) into the GEMM) or the
+            # pre-centered int8 wire (the host applies the same map — ops/stem
+            # center_u8).  The 4096-frame tower micro said centered wins by
+            # 0.15 ms; two cross-run full benches said u8 wins by 1.9 ms.
+            # Measure BOTH wires interleaved in this one process and let the
+            # winner be the headline — no cross-run tunnel drift in the A/B.
+            from tpuhar.ops.stem import center_u8
 
-            def time_quant(resident: bool) -> float:
-                """Chained-loop step time of one int8 serving program."""
+            wires = {"u8": video}
+            if video_ex.shape[-1] != 3:  # patch-major tower
+                wires["centered"] = jax.device_put(
+                    center_u8(np.asarray(jax.device_get(video)))
+                )
+
+            def make_runner(resident: bool):
+                """Build one int8 serving program; return run(k, wire)->seconds.
+
+                One jitted chained loop serves both wires (jit retraces per
+                input dtype; the stem branches on it — ops/stem.stem_gemm_u8).
+                """
                 qfn = build_quantized_forward(
                     cfg, fn._variables_prefold, calib_clips,
                     resident=resident,
@@ -290,36 +310,63 @@ def main():
                     _, acc = jax.lax.fori_loop(0, iters, body, (imu, jnp.float32(0)))
                     return acc
 
-                def run_q(k):
+                def run_q(k, wire):
                     t0 = time.perf_counter()
-                    _ = float(np.asarray(chained_q(imu, video_q, k)))
+                    _ = float(np.asarray(chained_q(imu, wires[wire], k)))
                     return time.perf_counter() - t0
 
-                run_q(1); run_q(iters)
-                t1q = min(run_q(1) for _ in range(2))
-                tkq = min(run_q(iters) for _ in range(2))
-                return (tkq - t1q) / (iters - 1)
+                return run_q
 
             log("building int8 quantized forward (calibration on CPU)...")
-            step_q = time_quant(resident=False)
+            run_base = make_runner(resident=False)
+            for w in wires:
+                run_base(1, w); run_base(iters, w)  # compile both wires
+            base_trials = {
+                w: measure_trials(lambda k, w=w: run_base(k, w), 3) for w in wires
+            }
+            base_steps = {w: float(np.median(t)) for w, t in base_trials.items()}
+            step_q = min(base_steps.values())
             log(
                 f"int8 throughput={batch / step_q:.0f} inf/s/chip  "
-                f"step={step_q * 1e3:.2f}ms  ({step_ms / (step_q * 1e3):.2f}x bf16)"
+                f"step={step_q * 1e3:.2f}ms  ({step_ms / (step_q * 1e3):.2f}x bf16)  "
+                f"per-wire={ {w: round(s * 1e3, 2) for w, s in base_steps.items()} }"
             )
             int8_variant = "baseline"
+            int8_wire = min(base_steps, key=base_steps.get)
+            res_trials = {}
             # int8-resident rewrite (producer-side quantization, int8 activations in
             # HBM): measured alongside; the faster program becomes int8_value.
             try:
                 log("building int8-resident forward...")
-                step_r = time_quant(resident=True)
+                run_res = make_runner(resident=True)
+                for w in wires:
+                    run_res(1, w); run_res(iters, w)
+                # interleave the wire trials: trial i of every wire runs
+                # back-to-back, so tunnel drift perturbs a trial, not a wire
+                res_trials = {w: [] for w in wires}
+                for _ in range(trials):
+                    for w in wires:
+                        t1w = run_res(1, w)
+                        tkw = run_res(iters, w)
+                        res_trials[w].append((tkw - t1w) / (iters - 1))
+                res_steps = {w: float(np.median(t)) for w, t in res_trials.items()}
+                step_r = min(res_steps.values())
                 log(
                     f"int8-resident throughput={batch / step_r:.0f} inf/s/chip  "
-                    f"step={step_r * 1e3:.2f}ms  ({step_q / step_r:.2f}x int8-baseline)"
+                    f"step={step_r * 1e3:.2f}ms  ({step_q / step_r:.2f}x int8-baseline)  "
+                    f"per-wire={ {w: round(s * 1e3, 2) for w, s in res_steps.items()} }"
                 )
                 int8_extras["int8_resident_step_ms"] = round(step_r * 1e3, 3)
                 int8_extras["int8_baseline_step_ms"] = round(step_q * 1e3, 3)
+                int8_extras["int8_resident_wire_ms"] = {
+                    w: round(s * 1e3, 3) for w, s in res_steps.items()
+                }
+                int8_extras["int8_resident_wire_trials_ms"] = {
+                    w: [round(s * 1e3, 3) for s in t] for w, t in res_trials.items()
+                }
                 if step_r < step_q:
                     step_q, int8_variant = step_r, "resident"
+                    int8_wire = min(res_steps, key=res_steps.get)
             except Exception as e:  # noqa: BLE001 — resident is optional
                 log(f"int8-resident skipped: {type(e).__name__}: {str(e)[:200]}")
             int8_extras.update(
@@ -327,6 +374,7 @@ def main():
                 int8_step_ms=round(step_q * 1e3, 3),
                 int8_vs_baseline=round(batch / step_q / 5000.0, 4),
                 int8_variant=int8_variant,
+                int8_wire=int8_wire,
             )
         except Exception as e:  # noqa: BLE001 — headline must survive int8 issues
             log(f"int8 path skipped: {type(e).__name__}: {str(e)[:200]}")

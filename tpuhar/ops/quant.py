@@ -401,7 +401,11 @@ def _static_int(v, name: str) -> int:
         return v
     try:
         return int(np.asarray(v))
-    except jax.errors.ConcretizationTypeError as e:
+    # JAXTypeError covers both ConcretizationTypeError (int(tracer)) and its
+    # sibling TracerArrayConversionError (np.asarray(tracer)) — the latter is
+    # what jax 0.9.0 actually raises here, and it is NOT a subclass of the
+    # former (verified; ADVICE r3).
+    except jax.errors.JAXTypeError as e:
         raise ValueError(
             f"quantized-tree metadata {name!r} must be static (a Python int or "
             "concrete array), but it is a traced value — pass the quantized "

@@ -59,6 +59,19 @@ def pack_stem_weights(kernel_hwio: jax.Array) -> jax.Array:
     return kernel_hwio.reshape(p * p * cin, c0)
 
 
+def center_u8(col: np.ndarray) -> np.ndarray:
+    """HOST-side int8 wire encoding: ``clip(u8 − 128, −127, 127)`` as int8.
+
+    One XOR + max on the same bytes (no int16 intermediate).  The single
+    source of truth for the centered wire — used by ``to_patch_major``
+    (``centered=True``) and by bench.py's wire A/B, so a wire-encoding change
+    only ever happens here.
+    """
+    return np.maximum(
+        np.bitwise_xor(col.view(np.int8), np.int8(-128)), np.int8(-127)
+    )
+
+
 def to_patch_major(
     frames: np.ndarray, patch: int = 16, *, centered: bool = False
 ) -> np.ndarray:
@@ -80,9 +93,7 @@ def to_patch_major(
     x = np.moveaxis(x, -3, -2)  # (..., Hp, Wp, patch, patch·C)
     col = np.ascontiguousarray(x).reshape(*lead, Hp, Wp, patch * patch * C)
     if centered:
-        col = np.maximum(
-            np.bitwise_xor(col.view(np.int8), np.int8(-128)), np.int8(-127)
-        )
+        col = center_u8(col)
     return col
 
 

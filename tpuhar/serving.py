@@ -60,6 +60,7 @@ class InferenceEngine:
         quantize_calib_imu=None,
         quantize_resident: bool = False,
         verify_byte_map: bool = False,
+        int8_wire: str = "u8",
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -107,6 +108,7 @@ class InferenceEngine:
             quantize_calib_imu=quantize_calib_imu,
             quantize_resident=quantize_resident,
             verify_byte_map=verify_byte_map,
+            int8_wire=int8_wire,
         )
         self.config = config
         self.imu_only = imu_only
@@ -156,20 +158,28 @@ class InferenceEngine:
             self.folded = False
             # tpu_cnn int8 trees are built with the uint8 input fold, so the
             # engine ships clips patch-major: the stem becomes one full-K int8
-            # GEMM (3.1-3.5 vs 11.06 ms @4096 frames — ops/stem.py), and the
-            # wire is PRE-CENTERED int8 (host applies clip(u8−128, −127, ·) in
-            # the same numpy pass as the patch shuffle): no on-device byte map
-            # at all.  Re-measured after the byte-map miscompile fix
-            # (perf_stem_gemm3): centered 14.92 vs u8 15.07 ms on the full
-            # resident tower @4096 frames — the earlier "1.9 ms slower"
-            # rejection was an artifact of the miscompiled map.  Both wires
-            # stay bit-exact and supported (stem_gemm_u8 branches on dtype).
+            # GEMM (3.1-3.5 vs 11.06 ms @4096 frames — ops/stem.py).  Wire
+            # encoding (``int8_wire``): "u8" ships raw uint8 patches and the
+            # device fuses the clip(u8−128,−127,·) byte map into the GEMM;
+            # "centered" ships pre-centered int8 (host applies the map in the
+            # same numpy pass as the patch shuffle).  Both are bit-exact and
+            # supported (stem_gemm_u8 branches on dtype).  Default "u8": the
+            # full-bench A/B (bench.py --ab-wire, r4) measures both in one
+            # process — the 4096-frame tower micro (centered 14.92 vs u8
+            # 15.07 ms) and the cross-run bench evidence (u8 15.4k vs
+            # centered 13.8k inf/s) disagreed, so the wire is settled at the
+            # bench level, not the micro level.
             self.patch_major = config.model.video_backbone.startswith("tpu_cnn")
-            self._wire_centered = True
-            if verify_byte_map and self.patch_major:
+            if int8_wire not in ("u8", "centered"):
+                raise ValueError(f"int8_wire must be 'u8' or 'centered', got {int8_wire!r}")
+            self._wire_centered = int8_wire == "centered"
+            if verify_byte_map and self.patch_major and not self._wire_centered:
                 # one tiny GEMM compile: prove the fused int8 byte map is
                 # exact on THIS backend before serving through it (backends
-                # have miscompiled it — ops/stem.verify_byte_map docstring)
+                # have miscompiled it — ops/stem.verify_byte_map docstring).
+                # Only the u8 wire executes the on-device map; the centered
+                # wire does the same bytes host-side in numpy, so there is
+                # nothing to preflight there.
                 from .ops.stem import verify_byte_map as _verify
 
                 _verify()
