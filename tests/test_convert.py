@@ -463,3 +463,123 @@ def test_export_video_backbone_rejects_native_towers():
     cfg.model.video_backbone = "tpu_cnn"
     with pytest.raises(ValueError, match="no torch-layout export"):
         export_video_backbone({"params": {}}, cfg)
+
+
+# ---------------------------------------------------------------------------------
+# Layout-variant matrix (VERDICT r3 #8): harden the converters for the day a real
+# checkpoint arrives — HF size ladder, finetuned-head layout, training-wrapper
+# key envelopes, and diagnosable missing-key errors.
+# ---------------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "depth,d_model,heads",
+    [
+        (24, 32, 16),  # videomae_large layer/head layout (test-scale widths)
+        (12, 48, 12),  # videomae_base layout
+        (12, 24, 6),   # videomae_small layout
+    ],
+)
+def test_videomae_variant_matrix_roundtrip(rng, depth, d_model, heads):
+    """Every HF size variant's layout round-trips bit-exact, in both the bare
+    VideoMAEModel key style and the 'videomae.'-prefixed classification-
+    checkpoint style with extra head keys present."""
+    from tpuhar.models.convert import export_videomae_state_dict
+
+    net = VideoViT(depth=depth, d_model=d_model, num_heads=heads)
+    variables = net.init(KEY, jnp.zeros((1, 4, 32, 32, 3)))
+    params = _randomize_leaves(variables["params"], rng)
+    n_positions = params["pos_encoding"].shape[1]
+
+    sd = export_videomae_state_dict(params, depth, heads)
+    p2 = convert_videomae_state_dict(sd, depth, d_model, heads, n_positions)
+    assert _tree_equal(params, p2)
+
+    # VideoMAEForVideoClassification layout: every backbone key prefixed
+    # 'videomae.', plus bare finetuned-head keys the converter must ignore
+    sd_cls = {"videomae." + k: v for k, v in sd.items()}
+    sd_cls["classifier.weight"] = np.zeros((7, d_model), np.float32)
+    sd_cls["classifier.bias"] = np.zeros((7,), np.float32)
+    sd_cls["fc_norm.weight"] = np.ones((d_model,), np.float32)
+    sd_cls["fc_norm.bias"] = np.zeros((d_model,), np.float32)
+    p3 = convert_videomae_state_dict(sd_cls, depth, d_model, heads, n_positions)
+    assert _tree_equal(params, p3)
+
+
+def test_videomae_large_registered():
+    from tpuhar.models.video import VIT_CONFIGS
+
+    assert VIT_CONFIGS["videomae_large"] == (24, 1024, 16)
+
+
+def test_training_wrapper_prefixes_normalized(tmp_path, rng):
+    """DataParallel ('module.') and Lightning ('model.') key envelopes — alone
+    and stacked — are stripped by load_state_dict before conversion."""
+    from tpuhar.models.convert import (
+        convert_resnet18_state_dict,
+        load_state_dict,
+        normalize_state_dict,
+        save_state_dict,
+    )
+
+    sd = _fake_resnet18_state_dict(rng)
+    wrapped = {"model.module." + k: v for k, v in sd.items()}
+    save_state_dict(wrapped, tmp_path / "dp.pt")
+    loaded = load_state_dict(tmp_path / "dp.pt")
+    assert set(loaded) == set(sd)
+    params, batch_stats = convert_resnet18_state_dict(loaded)
+    assert "stem_conv" in params and "stem_bn" in batch_stats
+
+    # a prefix shared by only SOME keys (classification-checkpoint style) stays
+    partial = {"videomae.x": 1, "classifier.weight": 2}
+    assert normalize_state_dict(partial) == partial
+
+
+def test_missing_key_error_names_nearest(rng):
+    sd = _fake_resnet18_state_dict(rng)
+    del sd["layer2.0.conv1.weight"]
+    from tpuhar.models.convert import convert_resnet18_state_dict
+
+    with pytest.raises(KeyError, match="nearest present"):
+        convert_resnet18_state_dict(sd)
+
+    depth, d_model, heads = 2, 24, 3
+    net = VideoViT(depth=depth, d_model=d_model, num_heads=heads)
+    variables = net.init(KEY, jnp.zeros((1, 4, 32, 32, 3)))
+    from tpuhar.models.convert import export_videomae_state_dict
+
+    vsd = export_videomae_state_dict(variables["params"], depth, heads)
+    del vsd["encoder.layer.1.intermediate.dense.weight"]
+    with pytest.raises(KeyError, match="nearest present"):
+        convert_videomae_state_dict(
+            vsd, depth, d_model, heads,
+            variables["params"]["pos_encoding"].shape[1],
+        )
+
+
+def test_graft_weights_cli(tmp_path, rng):
+    """The one-command graft script ingests a torch checkpoint end-to-end:
+    load → convert → shape-validated graft → msgpack + digest manifest."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from tpuhar.models.convert import save_state_dict
+
+    root = Path(__file__).resolve().parent.parent
+    ckpt = tmp_path / "resnet18.pt"
+    save_state_dict(_fake_resnet18_state_dict(rng), ckpt)
+    out = tmp_path / "grafted.msgpack"
+    r = subprocess.run(
+        [
+            sys.executable, str(root / "scripts" / "graft_weights.py"),
+            str(ckpt), "--backbone", "resnet18", "--out", str(out),
+        ],
+        capture_output=True, text=True, cwd=root, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    manifest = json.loads((tmp_path / "grafted.msgpack.manifest.json").read_text())
+    assert manifest["backbone"] == "resnet18"
+    tensors = manifest["video_encoder_tensors"]
+    assert any("backbone" in k for k in tensors)
+    assert all(len(v["sha256"]) == 16 for v in tensors.values())

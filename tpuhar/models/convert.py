@@ -43,16 +43,41 @@ def _np(t) -> np.ndarray:
 # ---------------------------------------------------------------------------------
 # VideoMAE → VideoViT
 # ---------------------------------------------------------------------------------
+def _missing_key(key: str, sd: Dict) -> KeyError:
+    """A diagnosable missing-key error: name the nearest actual keys so an
+    unexpected checkpoint layout (new HF version, custom training wrapper) is a
+    one-look fix instead of a bare KeyError deep in the converter."""
+    import difflib
+
+    near = difflib.get_close_matches(key, [str(k) for k in sd], n=3, cutoff=0.4)
+    return KeyError(
+        f"checkpoint has no key {key!r} (nearest present: {near}); supported "
+        "layouts: HF VideoMAEModel / VideoMAEForVideoClassification "
+        "('videomae.'-prefixed), torchvision resnet18 / mobilenet_v2, and "
+        "tpuhar's own export_* dicts — see tpuhar/models/convert.py"
+    )
+
+
 def convert_videomae_state_dict(
     sd: Dict, depth: int, d_model: int, num_heads: int, n_positions: int
 ) -> Dict:
-    """HF ``VideoMAEModel.state_dict()`` → params for ``tpuhar.models.video.VideoViT``."""
+    """HF ``VideoMAEModel.state_dict()`` → params for ``tpuhar.models.video.VideoViT``.
+
+    Accepts the bare ``VideoMAEModel`` layout and the ``videomae.``-prefixed
+    ``VideoMAEForVideoClassification`` layout (whose extra ``classifier.*`` /
+    ``fc_norm.*`` head keys are ignored — the reference drops the head too,
+    /root/reference/src/models/models.py:154-158).  Size variants (small /
+    base / large) are fully parameterized by ``depth`` / ``d_model`` /
+    ``num_heads`` (``VIT_CONFIGS``).
+    """
     hd = d_model // num_heads
 
     def pre(key):  # tolerate both bare and "videomae."-prefixed checkpoints
         if key in sd:
             return sd[key]
-        return sd["videomae." + key]
+        if "videomae." + key in sd:
+            return sd["videomae." + key]
+        raise _missing_key(key, sd)
 
     def has(key):
         return key in sd or ("videomae." + key) in sd
@@ -150,19 +175,26 @@ def videomae_has_final_norm(sd: Dict) -> bool:
 # ---------------------------------------------------------------------------------
 # torchvision resnet18 → ResNet18
 # ---------------------------------------------------------------------------------
+def _get(sd, key):
+    try:
+        return sd[key]
+    except KeyError:
+        raise _missing_key(key, sd) from None
+
+
 def _bn(sd, prefix):
     return (
-        {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])},
+        {"scale": _np(_get(sd, prefix + ".weight")), "bias": _np(_get(sd, prefix + ".bias"))},
         {
-            "mean": _np(sd[prefix + ".running_mean"]),
-            "var": _np(sd[prefix + ".running_var"]),
+            "mean": _np(_get(sd, prefix + ".running_mean")),
+            "var": _np(_get(sd, prefix + ".running_var")),
         },
     )
 
 
 def _conv(sd, key):
     # torch conv (out, in, kh, kw) → flax (kh, kw, in, out)
-    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}
+    return {"kernel": _np(_get(sd, key)).transpose(2, 3, 1, 0)}
 
 
 def convert_resnet18_state_dict(sd: Dict):
@@ -395,12 +427,32 @@ def save_state_dict(sd: Dict, path) -> None:
     torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, path)
 
 
+def normalize_state_dict(sd: Dict) -> Dict:
+    """Strip training-wrapper key envelopes shared by EVERY key.
+
+    ``torch.nn.DataParallel`` saves ``module.``-prefixed keys and Lightning-style
+    wrappers save ``model.``-prefixed ones; either way the underlying layout is
+    unchanged, so a uniformly-shared prefix is safe to strip (repeatedly — a
+    Lightning-wrapped DataParallel yields ``model.module.``).  A prefix carried
+    by only SOME keys (e.g. ``videomae.`` on a classification checkpoint whose
+    head keys are bare) is left alone — the converters handle those."""
+    stripped = True
+    while stripped:  # to a fixpoint: "model.module." sheds one layer per pass
+        stripped = False
+        for prefix in ("module.", "model."):
+            if sd and all(str(k).startswith(prefix) for k in sd):
+                sd = {str(k)[len(prefix):]: v for k, v in sd.items()}
+                stripped = True
+    return sd
+
+
 def load_state_dict(path) -> Dict:
     """Load a torch checkpoint (``.pt``/``.pth``/``.bin``) or numpy ``.npz`` into a
-    flat name→array dict. Unwraps a ``state_dict`` envelope if present."""
+    flat name→array dict. Unwraps a ``state_dict`` envelope and shared
+    DataParallel/Lightning key prefixes (``normalize_state_dict``) if present."""
     path = str(path)
     if path.endswith(".npz"):
-        return dict(np.load(path))
+        return normalize_state_dict(dict(np.load(path)))
     import torch
 
     try:
@@ -409,7 +461,7 @@ def load_state_dict(path) -> Dict:
         sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
         sd = sd["state_dict"]
-    return sd
+    return normalize_state_dict(sd)
 
 
 def convert_video_backbone(sd: Dict, config):

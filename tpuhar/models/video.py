@@ -27,6 +27,9 @@ from .layers import PreNormBlock
 # name → (depth, d_model, heads) for the ViT family; "base" matches VideoMAE-Base
 # (MCG-NJU/videomae-base-*: 12 layers, 768 dim, 12 heads, tubelet 2×16×16).
 VIT_CONFIGS = {
+    # name: (depth, d_model, num_heads) — the HF VideoMAE size ladder
+    # (MCG-NJU/videomae-{small,base,large}); tiny is a test-scale config.
+    "videomae_large": (24, 1024, 16),
     "videomae_base": (12, 768, 12),
     "videomae_small": (12, 384, 6),
     "videomae_tiny": (4, 192, 3),
