@@ -1,0 +1,283 @@
+#!/usr/bin/env python
+"""The reference's article workflow, end-to-end, on the HARD fixture (VERDICT r3 #3).
+
+The reference exists to run: contrastive pretrain → linear probe + finetune →
+few-shot grid (Table 3, mean±std over runs) — /root/reference/main.py:275-339,
+src/eval/evaluator.py:125-263.  tpuhar has every stage, but pretraining
+*usefulness* had only been shown on the saturated easy fixture.  This script
+runs the full loop on the discriminative hard fixture — which can say NO — with
+a from-scratch control arm for every cell:
+
+  1. hard fixture (class-overlapped IMU + video, optional label noise) → preprocess
+  2. cross-modal contrastive pretrain (InfoNCE by default: SigLIP collapses at
+     these batch sizes — docs/BENCHMARKS.md; ``--sigmoid`` uses the reference
+     loss anyway)
+  3. FULL-DATA probe: linear_probe + finetune from the pretrained encoder AND
+     from random init
+  4. FEW-SHOT grid: n_samples × {linear_probe, finetune} × runs, pretrained vs
+     scratch, mean ± std per cell + per-cell delta
+
+Artifacts → ``--out`` (default docs/article_hard/): ``article_workflow.json``,
+``fewshot_pretrained_raw.csv``, ``fewshot_scratch_raw.csv``, ``summary.md``.
+
+Run on the TPU (hours at the default sizes) or CPU (``--quick`` for a
+test-scale pass).  One process: the video tower only trains in stage 2 at 64²
+clips, so the axon per-upload RAM leak stays bounded (CLAUDE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--classes", type=int, default=6)
+    p.add_argument("--samples", type=int, default=14, help="sequences per class/split")
+    p.add_argument("--resize", type=int, default=64)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--backbone", default="tpu_cnn")
+    p.add_argument("--pretrain-epochs", type=int, default=30)
+    p.add_argument("--epochs", type=int, default=12, help="probe/finetune epochs")
+    p.add_argument("--few-shot-samples", default="2,5,10")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--label-noise", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sigmoid", action="store_true",
+                   help="use SigLIP instead of InfoNCE for pretraining")
+    p.add_argument("--out", default="docs/article_hard")
+    p.add_argument("--workdir", default="outputs/article_hard",
+                   help="fixture + checkpoints live here (gitignored)")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny CPU smoke: 3 classes, few epochs")
+    p.add_argument("--cpu", action="store_true", help="force CPU")
+    return p.parse_args()
+
+
+def build_config(args, work: Path):
+    from tpuhar.data.synthetic import generate_synthetic_dataset, make_synthetic_config
+
+    log(f"generating hard fixture: {args.classes} classes × {args.samples} seqs/split, "
+        f"label_noise={args.label_noise}")
+    generate_synthetic_dataset(
+        work / "data",
+        num_classes=args.classes,
+        samples_per_class=args.samples,
+        seq_len=1500,
+        seed=args.seed,
+        difficulty="hard",
+        label_noise=args.label_noise,
+    )
+    cfg = make_synthetic_config(
+        work / "data", work / "out",
+        num_classes=args.classes,
+        video_backbone=args.backbone,
+        video_resize=(args.resize, args.resize),
+        pretrain_epochs=args.pretrain_epochs,
+        train_epochs=args.epochs,
+        pretrain_batch_size=64,
+        train_batch_size=32,
+        few_shot_samples=[int(s) for s in args.few_shot_samples.split(",")],
+        few_shot_runs=args.runs,
+    )
+    cfg.data.video_frames_per_window = args.frames
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.training.use_sigmoid_loss = bool(args.sigmoid)
+    cfg.training.patience = args.epochs + 1  # matched budget, no early stop
+    cfg.training.seed = args.seed
+    return cfg
+
+
+def full_data_arm(cfg, dfs, enc_params, mode: str, tag: str, rng):
+    """Train one full-data classifier (probe or finetune) and return test metrics."""
+    from tpuhar.data.loader import create_dataloaders
+    from tpuhar.eval.evaluator import Evaluator
+    from tpuhar.train import checkpoint as ckpt
+    from tpuhar.train.factory import build_classification_task
+    from tpuhar.train.loop import ClassificationTrainer
+    import jax
+
+    train_df, val_df, test_df = dfs
+    loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="classification")
+    init_rng, fit_rng = jax.random.split(rng)
+    with jax.default_device(jax.devices("cpu")[0]):
+        task = build_classification_task(
+            cfg, mode, max(len(loaders["train"]), 1), init_rng,
+            encoder_params=enc_params,
+        )
+    trainer = ClassificationTrainer(
+        cfg, task.state, task.train_step, task.eval_step,
+        Path(cfg.paths.checkpoints_dir) / f"article_{mode}_{tag}", fit_rng, mode,
+    )
+    trainer.verbose = False
+    task.state = trainer.fit(loaders["train"], loaders["val"])
+    best = trainer.save_dir / "best_model"
+    if ckpt.checkpoint_exists(best):
+        task.state, _ = ckpt.restore_checkpoint(best, task.state)
+    m = Evaluator(task, cfg).evaluate(loaders["test"])["metrics"]
+    return {k: round(float(m[k]), 2) for k in ("balanced_accuracy", "accuracy", "f1_macro")}
+
+
+def main():
+    args = parse_args()
+    if args.quick:
+        args.classes, args.samples = 3, 6
+        args.pretrain_epochs, args.epochs = 4, 3
+        args.few_shot_samples, args.runs = "2,4", 2
+        args.backbone, args.resize, args.frames = "tiny_cnn", 32, 2
+        args.cpu = True
+        if args.out == "docs/article_hard":  # don't clobber the real artifact
+            args.out = "outputs/article_quick"
+        if args.workdir == "outputs/article_hard":
+            args.workdir = "outputs/article_quick_work"
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpuhar.cli import Pipeline
+    from tpuhar.eval.evaluator import FewShotEvaluator
+    from tpuhar.eval.fewshot_parallel import run_parallel_fewshot
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = build_config(args, work)
+    result = {
+        "fixture": {
+            "difficulty": "hard", "classes": args.classes,
+            "samples_per_class_split": args.samples,
+            "label_noise": args.label_noise, "seed": args.seed,
+        },
+        "pretrain": {
+            "loss": "siglip" if args.sigmoid else "infonce",
+            "epochs": args.pretrain_epochs, "backbone": args.backbone,
+            "clip": [args.frames, args.resize, args.resize],
+        },
+        "budget": {"epochs": args.epochs, "few_shot_runs": args.runs},
+    }
+
+    pipe = Pipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.run_preprocessing()
+    log(f"preprocessing done ({time.perf_counter() - t0:.0f}s)")
+
+    t0 = time.perf_counter()
+    pipe.run_pretraining()
+    result["pretrain"]["wall_s"] = round(time.perf_counter() - t0, 1)
+    enc_params, _ = pipe._load_pretrained_encoder()
+    assert enc_params is not None, "pretraining produced no encoder checkpoint"
+    log(f"pretraining done ({result['pretrain']['wall_s']}s)")
+
+    dfs = (pipe._metadata("train"), pipe._metadata("val"), pipe._metadata("test"))
+
+    # ---- full-data probe/finetune, both arms --------------------------------------
+    result["full_data"] = {}
+    for mode in ("linear_probe", "finetune"):
+        for tag, enc in (("pretrained", enc_params), ("scratch", None)):
+            t0 = time.perf_counter()
+            m = full_data_arm(cfg, dfs, enc, mode, tag, pipe._next_key())
+            m["wall_s"] = round(time.perf_counter() - t0, 1)
+            result["full_data"][f"{mode}/{tag}"] = m
+            log(f"full-data {mode}/{tag}: bal_acc={m['balanced_accuracy']:.2f} "
+                f"({m['wall_s']}s)")
+
+    # ---- few-shot grid, both arms -------------------------------------------------
+    train_df, val_df, test_df = dfs
+    raws = {}
+    for tag, enc in (("pretrained", enc_params), ("scratch", None)):
+        t0 = time.perf_counter()
+        raw = run_parallel_fewshot(
+            cfg, enc, train_df, test_df, val_df,
+            experiment_name=tag, rng=jax.random.PRNGKey(args.seed + 100),
+        )
+        raw.to_csv(out / f"fewshot_{tag}_raw.csv", index=False)
+        raws[tag] = raw
+        log(f"few-shot grid [{tag}] done ({time.perf_counter() - t0:.0f}s)")
+
+    evaluator = FewShotEvaluator(cfg)
+    aggs = {tag: evaluator.aggregate_results(raw) for tag, raw in raws.items()}
+
+    # per-cell pretrained-vs-scratch deltas (the claim under test)
+    cells = []
+    for (_, row) in aggs["pretrained"].iterrows():
+        n, mode = row["n_samples"], row["mode"]
+        srow = aggs["scratch"][
+            (aggs["scratch"]["n_samples"] == n) & (aggs["scratch"]["mode"] == mode)
+        ].iloc[0]
+        cells.append({
+            "n_samples": int(n), "mode": str(mode),
+            "pretrained_mean": round(float(row["balanced_accuracy_mean"]), 2),
+            "pretrained_std": round(float(row["balanced_accuracy_std"]), 2),
+            "scratch_mean": round(float(srow["balanced_accuracy_mean"]), 2),
+            "scratch_std": round(float(srow["balanced_accuracy_std"]), 2),
+            "delta": round(
+                float(row["balanced_accuracy_mean"] - srow["balanced_accuracy_mean"]), 2
+            ),
+        })
+    result["few_shot_cells"] = cells
+    deltas = [c["delta"] for c in cells]
+    result["few_shot_mean_delta"] = round(float(np.mean(deltas)), 2)
+    result["platform"] = jax.devices()[0].platform
+
+    # ---- artifacts ----------------------------------------------------------------
+    (out / "article_workflow.json").write_text(json.dumps(result, indent=1))
+    lines = [
+        "# Article workflow on the hard fixture (pretrain → probe → few-shot)",
+        "",
+        f"Fixture: {args.classes} classes, hard (overlapped), label_noise="
+        f"{args.label_noise}; pretrain {result['pretrain']['loss']} "
+        f"{args.pretrain_epochs} ep; budget {args.epochs} ep/cell, "
+        f"{args.runs} runs.  Platform: {result['platform']}.",
+        "",
+        "## Full-data (balanced accuracy)",
+        "",
+        "| mode | pretrained | scratch | delta |",
+        "|---|---|---|---|",
+    ]
+    for mode in ("linear_probe", "finetune"):
+        p = result["full_data"][f"{mode}/pretrained"]["balanced_accuracy"]
+        s = result["full_data"][f"{mode}/scratch"]["balanced_accuracy"]
+        lines.append(f"| {mode} | {p:.2f} | {s:.2f} | {p - s:+.2f} |")
+    lines += [
+        "",
+        "## Few-shot grid (balanced accuracy, mean ± std over runs)",
+        "",
+        "| n/class | mode | pretrained | scratch | delta |",
+        "|---|---|---|---|---|",
+    ]
+    for c in cells:
+        lines.append(
+            f"| {c['n_samples']} | {c['mode']} | {c['pretrained_mean']:.2f} ± "
+            f"{c['pretrained_std']:.2f} | {c['scratch_mean']:.2f} ± "
+            f"{c['scratch_std']:.2f} | {c['delta']:+.2f} |"
+        )
+    lines.append("")
+    lines.append(f"Mean few-shot delta: **{result['few_shot_mean_delta']:+.2f}** points.")
+    (out / "summary.md").write_text("\n".join(lines))
+    log(f"artifacts -> {out}/")
+    print(json.dumps({
+        "bench": "article_workflow_hard",
+        "few_shot_mean_delta": result["few_shot_mean_delta"],
+        "full_data": result["full_data"],
+        "cells": cells,
+    }))
+
+
+if __name__ == "__main__":
+    main()

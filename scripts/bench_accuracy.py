@@ -170,6 +170,17 @@ def run_backbone(args, cfg, backbone, dfs):
         task.state = trainer.fit(loaders["train"], loaders["val"])
     result["train_wall_s"] = round(time.perf_counter() - t0, 1)
 
+    # Convergence evidence (VERDICT r3 #6): carry the full-class training curve
+    # into results.json so the head-to-head table ships with per-tower
+    # plateau/no-plateau evidence instead of a bare endpoint number.
+    hist_path = full_dir / "training_history.json"
+    if hist_path.exists():
+        hist = json.loads(hist_path.read_text())
+        result["curve"] = {
+            k: [round(float(v), 4) for v in hist.get(k, [])]
+            for k in ("train", "val")
+        }
+
     best = full_dir / "best_model"
     if ckpt.checkpoint_exists(best):
         task.state, _ = ckpt.restore_checkpoint(best, task.state)
