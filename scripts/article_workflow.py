@@ -49,7 +49,15 @@ def parse_args():
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--backbone", default="tpu_cnn")
     p.add_argument("--pretrain-epochs", type=int, default=30)
-    p.add_argument("--epochs", type=int, default=12, help="probe/finetune epochs")
+    # Convergence budget, NOT the reference's finetune defaults: the config's
+    # train_lr_encoder=1e-6 / 12 epochs leaves every arm at chance on the hard
+    # fixture (first r4 chip run: all four full-data arms 16.8-18.5 bal-acc on 6
+    # classes).  tests/test_fewshot_parallel.py established 40 ep @ lr 3e-3 as
+    # the budget where these classifiers converge on synthetic fixtures.
+    p.add_argument("--epochs", type=int, default=40, help="probe/finetune epochs")
+    p.add_argument("--lr", type=float, default=3e-3,
+                   help="probe/finetune lr (encoder AND head)")
+    p.add_argument("--pretrain-lr", type=float, default=5e-4)
     p.add_argument("--few-shot-samples", default="2,5,10")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--label-noise", type=float, default=0.1)
@@ -97,6 +105,9 @@ def build_config(args, work: Path):
     cfg.training.use_sigmoid_loss = bool(args.sigmoid)
     cfg.training.patience = args.epochs + 1  # matched budget, no early stop
     cfg.training.seed = args.seed
+    cfg.training.pretrain_lr = args.pretrain_lr
+    cfg.training.train_lr_encoder = args.lr
+    cfg.training.train_lr_head = args.lr
     return cfg
 
 

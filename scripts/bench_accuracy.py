@@ -175,10 +175,21 @@ def run_backbone(args, cfg, backbone, dfs):
     # plateau/no-plateau evidence instead of a bare endpoint number.
     hist_path = full_dir / "training_history.json"
     if hist_path.exists():
+        # {"train": [{loss, accuracy}, ...], "val": [{..., balanced_accuracy}, ...]}
         hist = json.loads(hist_path.read_text())
         result["curve"] = {
-            k: [round(float(v), 4) for v in hist.get(k, [])]
-            for k in ("train", "val")
+            "train_loss": [round(float(e["loss"]), 4) for e in hist.get("train", [])],
+            "train_acc": [
+                round(float(e.get("accuracy", float("nan"))), 2)
+                for e in hist.get("train", [])
+            ],
+            "val_bal_acc": [
+                round(float(e.get("balanced_accuracy", e.get("accuracy", float("nan")))), 2)
+                for e in hist.get("val", [])
+            ],
+            "val_loss": [
+                round(float(e["loss"]), 4) for e in hist.get("val", []) if "loss" in e
+            ],
         }
 
     best = full_dir / "best_model"

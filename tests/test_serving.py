@@ -439,3 +439,44 @@ def test_quantized_engine_resident_resnet18(rng):
     assert rel < 0.10, f"resident-vs-baseline int8 relative RMS drift {rel:.4f}"
     corr = np.corrcoef(res.ravel(), base.ravel())[0, 1]
     assert corr > 0.99, f"resident-vs-baseline int8 logit corr {corr}"
+
+
+def test_fast_gelu_serving_vit(rng):
+    """ViT engines default to the tanh-GELU serving fast path (parameter-free, so
+    the same checkpoint serves both ways); fast_gelu=False restores exact erf.
+
+    Measured on chip: 2.97 -> 1.15 ms per block-MLP at the serving shape with
+    rel-RMS output drift 2.5e-3 (scripts/perf_vit_stages2.py).  Reference role:
+    the ViT is the reference's default backbone (models.py:154-158)."""
+    cfg = _cfg()
+    cfg.model.video_backbone = "videomae_tiny"
+    model = FusionClassifier(cfg)
+    imu_z = jnp.zeros((2, 6, 250))
+    vid_z = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(KEY, imu_z, vid_z)
+
+    imu = rng.normal(0, 8000, size=(4, 250, 6)).astype(np.float32)
+    video = (rng.random((4, 4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    fast = InferenceEngine(cfg, variables, batch_sizes=[4])
+    exact = InferenceEngine(cfg, variables, batch_sizes=[4], fast_gelu=False)
+    assert fast.config.model.gelu_approximate is True
+    assert exact.config.model.gelu_approximate is False
+    # caller's config object must not be mutated by the engine's clone
+    assert cfg.model.gelu_approximate is False
+
+    out_f = fast.predict(imu, video)
+    out_e = exact.predict(imu, video)
+    a = np.asarray(out_f["logits"], np.float64)
+    b = np.asarray(out_e["logits"], np.float64)
+    spread = np.sqrt(np.mean((b - b.mean()) ** 2))
+    rel = np.sqrt(np.mean((a - b) ** 2)) / max(spread, 1e-12)
+    assert rel < 0.02, f"tanh-vs-exact GELU serving drift {rel:.5f}"
+    assert (out_f["preds"] == out_e["preds"]).all()
+
+
+def test_fast_gelu_noop_for_cnn_backbones(rng):
+    """fast_gelu only touches ViT backbones — CNN engines are GELU-free."""
+    cfg = _cfg()
+    engine = _fusion_engine(cfg)  # tiny_cnn
+    assert engine.config.model.gelu_approximate is False

@@ -171,6 +171,14 @@ class ModelConfig:
     # LayerNorm; set False to match such checkpoints when grafting.
     video_use_final_norm: bool = True
     video_d_model: int = 768
+    # ViT MLP GELU variant. False = exact erf GELU (HF VideoMAE parity —
+    # models/convert.py golden tests depend on it). True = tanh approximation:
+    # measured 1.15 vs 2.97 ms per block-MLP at the serving shape (~17% of the
+    # videomae_small step, scripts/perf_vit_stages2.py) with rel-RMS output
+    # drift 2.5e-3 ≈ bf16 rounding. The serving engine enables it for ViT
+    # backbones by default (InferenceEngine(fast_gelu=...)); training/eval
+    # default stays exact.
+    gelu_approximate: bool = False
 
     # Projection heads
     projection_dim: int = 256

@@ -82,6 +82,8 @@ class VideoViT(nn.Module):
     use_flash: bool = False
     flash_block_q: int = 512
     flash_block_k: int = 512
+    # tanh-approximate MLP GELU (serving fast path; see PreNormBlock)
+    gelu_approximate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +107,7 @@ class VideoViT(nn.Module):
                 use_flash=self.use_flash,
                 flash_block_q=self.flash_block_q,
                 flash_block_k=self.flash_block_k,
+                gelu_approximate=self.gelu_approximate,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, not train)
@@ -446,6 +449,7 @@ class VideoEncoder(nn.Module):
     flash_block_k: int = 512
     use_final_norm: bool = True
     conv_backend: str = "xla"
+    gelu_approximate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -458,7 +462,8 @@ class VideoEncoder(nn.Module):
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
                 remat=self.remat, use_flash=self.use_flash,
                 flash_block_q=self.flash_block_q, flash_block_k=self.flash_block_k,
-                use_final_norm=self.use_final_norm, dtype=self.dtype,
+                use_final_norm=self.use_final_norm,
+                gelu_approximate=self.gelu_approximate, dtype=self.dtype,
                 name="vit",
             )(x, train=train)
             proj = nn.Dense(self.video_d_model, dtype=self.dtype, name="projection")
@@ -511,5 +516,6 @@ def build_video_encoder(config, dtype=None):
         flash_block_k=int(getattr(m, "flash_block_k", 512)),
         use_final_norm=bool(getattr(m, "video_use_final_norm", True)),
         conv_backend=str(getattr(m, "conv_backend", "xla")),
+        gelu_approximate=bool(getattr(m, "gelu_approximate", False)),
         dtype=dtype,
     )

@@ -61,6 +61,7 @@ class InferenceEngine:
         quantize_resident: bool = False,
         verify_byte_map: bool = False,
         int8_wire: str = "u8",
+        fast_gelu: bool = True,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -109,7 +110,20 @@ class InferenceEngine:
             quantize_resident=quantize_resident,
             verify_byte_map=verify_byte_map,
             int8_wire=int8_wire,
+            fast_gelu=fast_gelu,
         )
+        # Serving fast path for ViT backbones: tanh-approximate MLP GELU —
+        # 2.97 → 1.15 ms per block-MLP at the serving shape with rel-RMS output
+        # drift 2.5e-3 ≈ bf16 rounding (scripts/perf_vit_stages2.py,
+        # docs/BENCHMARKS.md ViT roofline).  Parameter-free, so trained
+        # checkpoints serve unchanged; pass fast_gelu=False for bit-parity with
+        # the training-time exact-erf forward.
+        bb = config.model.video_backbone
+        if fast_gelu and not imu_only and ("/" in bb or "videomae" in bb.lower()):
+            import copy
+
+            config = copy.deepcopy(config)
+            config.model.gelu_approximate = True
         self.config = config
         self.imu_only = imu_only
         self.batch_sizes = sorted(batch_sizes or [256])
