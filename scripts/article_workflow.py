@@ -49,15 +49,23 @@ def parse_args():
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--backbone", default="tpu_cnn")
     p.add_argument("--pretrain-epochs", type=int, default=30)
-    # Convergence budget, NOT the reference's finetune defaults: the config's
-    # train_lr_encoder=1e-6 / 12 epochs leaves every arm at chance on the hard
-    # fixture (first r4 chip run: all four full-data arms 16.8-18.5 bal-acc on 6
-    # classes).  tests/test_fewshot_parallel.py established 40 ep @ lr 3e-3 as
-    # the budget where these classifiers converge on synthetic fixtures.
-    p.add_argument("--epochs", type=int, default=40, help="probe/finetune epochs")
-    p.add_argument("--lr", type=float, default=3e-3,
-                   help="probe/finetune lr (encoder AND head)")
-    p.add_argument("--pretrain-lr", type=float, default=5e-4)
+    # Pretraining pool size (sequences/class, separate fixture draw, labels
+    # unused): with only the labeled fixture's 14 seqs/class the InfoNCE task
+    # memorizes pairs instead of learning structure (chip run: train loss
+    # 4.19->1.79 while val EXPLODED 4.14->8.8; IMU embeddings collapsed to
+    # per-dim std 0.046).  Pretraining on a larger unlabeled pool is also the
+    # reference's actual setting: pretrain on the full dataset, few-shot on
+    # scarce labels (/root/reference/main.py:275-339).
+    p.add_argument("--pretrain-samples", type=int, default=40)
+    # Budget measured on THIS fixture (scripts/probe_imu_hard_lr.py,
+    # docs/probe_imu_hard_lr.json): encoder lr >=1e-3 diverges (train acc
+    # pinned at chance), 3e-4 learns, 1e-4 too slow; the head alone is stable
+    # at 1e-3.  The reference's finetune defaults (encoder 1e-6 / 12 ep) and
+    # the r3 easy-fixture few-shot budget (3e-3 / 40 ep) both fail here.
+    p.add_argument("--epochs", type=int, default=60, help="probe/finetune epochs")
+    p.add_argument("--lr-encoder", type=float, default=3e-4)
+    p.add_argument("--lr-head", type=float, default=1e-3)
+    p.add_argument("--pretrain-lr", type=float, default=2e-4)
     p.add_argument("--few-shot-samples", default="2,5,10")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--label-noise", type=float, default=0.1)
@@ -106,9 +114,63 @@ def build_config(args, work: Path):
     cfg.training.patience = args.epochs + 1  # matched budget, no early stop
     cfg.training.seed = args.seed
     cfg.training.pretrain_lr = args.pretrain_lr
-    cfg.training.train_lr_encoder = args.lr
-    cfg.training.train_lr_head = args.lr
+    cfg.training.train_lr_encoder = args.lr_encoder
+    cfg.training.train_lr_head = args.lr_head
     return cfg
+
+
+def pretrain_on_pool(args, work: Path):
+    """Pretrain on a separate, larger unlabeled pool; return encoder params.
+
+    Mirrors the reference's semi-supervised setting: contrastive pretraining
+    sees abundant unlabeled (imu, video) pairs; the labeled fixture stays
+    scarce.  The pool is a fresh draw (seed+1000) of the same hard
+    distribution, so no labeled-fixture sequence leaks into pretraining."""
+    from tpuhar.cli import Pipeline
+    from tpuhar.data.synthetic import generate_synthetic_dataset, make_synthetic_config
+
+    pool = work / "pool"
+    log(f"generating pretrain pool: {args.classes} classes × {args.pretrain_samples} "
+        "seqs/split (labels unused)")
+    generate_synthetic_dataset(
+        pool / "data",
+        num_classes=args.classes,
+        samples_per_class=args.pretrain_samples,
+        seq_len=1500,
+        seed=args.seed + 1000,
+        difficulty="hard",
+        label_noise=0.0,
+    )
+    cfg = make_synthetic_config(
+        pool / "data", pool / "out",
+        num_classes=args.classes,
+        video_backbone=args.backbone,
+        video_resize=(args.resize, args.resize),
+        pretrain_epochs=args.pretrain_epochs,
+        pretrain_batch_size=64,
+    )
+    cfg.data.video_frames_per_window = args.frames
+    cfg.model.compute_dtype = "float32"
+    cfg.model.head_norm = "layer"
+    cfg.training.use_sigmoid_loss = bool(args.sigmoid)
+    cfg.training.pretrain_lr = args.pretrain_lr
+    cfg.training.seed = args.seed
+    pipe = Pipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.run_preprocessing()
+    pipe.run_pretraining()
+    enc_params, _ = pipe._load_pretrained_encoder()
+    assert enc_params is not None, "pool pretraining produced no encoder checkpoint"
+    # transfer-quality telemetry: the val InfoNCE trajectory distinguishes
+    # learning from pair-memorization (chip history: val 4.14 -> 8.8 = overfit)
+    hist_path = pool / "out" / "checkpoints" / "cross_modal" / "training_history.json"
+    hist = json.loads(hist_path.read_text()) if hist_path.exists() else {}
+    return enc_params, {
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "pool_samples_per_class": args.pretrain_samples,
+        "train_loss": [round(float(x), 3) for x in hist.get("train", [])],
+        "val_loss": [round(float(x), 3) for x in hist.get("val", [])],
+    }
 
 
 def full_data_arm(cfg, dfs, enc_params, mode: str, tag: str, rng):
@@ -146,6 +208,7 @@ def main():
     if args.quick:
         args.classes, args.samples = 3, 6
         args.pretrain_epochs, args.epochs = 4, 3
+        args.pretrain_samples = 8
         args.few_shot_samples, args.runs = "2,4", 2
         args.backbone, args.resize, args.frames = "tiny_cnn", 32, 2
         args.cpu = True
@@ -188,12 +251,10 @@ def main():
     pipe.run_preprocessing()
     log(f"preprocessing done ({time.perf_counter() - t0:.0f}s)")
 
-    t0 = time.perf_counter()
-    pipe.run_pretraining()
-    result["pretrain"]["wall_s"] = round(time.perf_counter() - t0, 1)
-    enc_params, _ = pipe._load_pretrained_encoder()
-    assert enc_params is not None, "pretraining produced no encoder checkpoint"
-    log(f"pretraining done ({result['pretrain']['wall_s']}s)")
+    enc_params, pt_info = pretrain_on_pool(args, work)
+    result["pretrain"].update(pt_info)
+    log(f"pool pretraining done ({pt_info['wall_s']}s; "
+        f"val loss {pt_info['val_loss'][:2]}...{pt_info['val_loss'][-2:]})")
 
     dfs = (pipe._metadata("train"), pipe._metadata("val"), pipe._metadata("test"))
 

@@ -71,9 +71,13 @@ def main():
         from sklearn.linear_model import LogisticRegression
         from sklearn.metrics import balanced_accuracy_score
 
+        # stratified split — the metadata is class-ordered, so a positional
+        # half-split trains and tests on DISJOINT classes (bal-acc 0)
+        idx = np.random.default_rng(0).permutation(len(F))
         n = len(F) // 2
-        clf = LogisticRegression(max_iter=2000).fit(F[:n], lab[:n])
-        bal = balanced_accuracy_score(lab[n:], clf.predict(F[n:])) * 100
+        tr_i, te_i = idx[:n], idx[n:]
+        clf = LogisticRegression(max_iter=2000).fit(F[tr_i], lab[tr_i])
+        bal = balanced_accuracy_score(lab[te_i], clf.predict(F[te_i])) * 100
         results[f"{lr:.0e}"] = {
             "perdim_std": round(float(F.std(0).mean()), 4),
             "var_over_norm2": round(var / max(norm2, 1e-9), 5),
