@@ -69,6 +69,13 @@ def parse_args():
     p.add_argument("--few-shot-samples", default="2,5,10")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--label-noise", type=float, default=0.1)
+    # Instance-level cross-modal structure (video pulses at the sequence's IMU
+    # frequency).  Without it the two modalities share only the class variable,
+    # so InfoNCE can only be minimized by pair memorization — measured: train
+    # loss 4.19->1.79 with val 4.14->8.8 even at a 40-seq/class pool
+    # (docs/article_hard_uncoupled/).  --no-coupling reproduces that honest
+    # negative; the default demonstrates transfer where transfer is learnable.
+    p.add_argument("--no-coupling", dest="coupling", action="store_false")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sigmoid", action="store_true",
                    help="use SigLIP instead of InfoNCE for pretraining")
@@ -94,6 +101,7 @@ def build_config(args, work: Path):
         seed=args.seed,
         difficulty="hard",
         label_noise=args.label_noise,
+        cross_modal_coupling=args.coupling,
     )
     cfg = make_synthetic_config(
         work / "data", work / "out",
@@ -140,6 +148,7 @@ def pretrain_on_pool(args, work: Path):
         seed=args.seed + 1000,
         difficulty="hard",
         label_noise=0.0,
+        cross_modal_coupling=args.coupling,
     )
     cfg = make_synthetic_config(
         pool / "data", pool / "out",
@@ -234,7 +243,8 @@ def main():
     cfg = build_config(args, work)
     result = {
         "fixture": {
-            "difficulty": "hard", "classes": args.classes,
+            "difficulty": "hard", "coupled": bool(args.coupling),
+            "classes": args.classes,
             "samples_per_class_split": args.samples,
             "label_noise": args.label_noise, "seed": args.seed,
         },

@@ -32,6 +32,7 @@ def generate_synthetic_dataset(
     difficulty: str = "easy",
     label_noise: float = 0.0,
     freq_jitter: Optional[float] = None,
+    cross_modal_coupling: bool = False,
 ) -> Path:
     """Create a fake dataset under ``root``; returns ``root``.
 
@@ -56,6 +57,16 @@ def generate_synthetic_dataset(
     half-width in Hz (default ±0.09 vs the 0.12 Hz class gap → Bayes error of a few
     percent, towers land high-90s; ±0.15–0.20 pushes adjacent-class overlap high
     enough for a mid-range landing).  Ignored for ``"easy"``.
+
+    ``cross_modal_coupling``: make the video's brightness pulse at the SEQUENCE's
+    drawn IMU frequency instead of a fixed 16-frame period, giving the two
+    modalities shared *instance-level* structure.  Without it, within-class
+    variation is pure independent noise in both modalities, so a cross-modal
+    contrastive loss can only be minimized by pair memorization — measured on
+    the hard fixture as train InfoNCE 4.19→1.79 with val 4.14→8.8 (overfit) and
+    a collapsed IMU embedding (round 4, `docs/article_hard/`).  Real datasets
+    have such instance structure (the same walking bout is visible in both
+    sensors); this flag is what makes pretraining *learnable* at fixture scale.
     """
     if difficulty not in ("easy", "hard"):
         raise ValueError(f"difficulty must be 'easy' or 'hard', got {difficulty!r}")
@@ -77,7 +88,7 @@ def generate_synthetic_dataset(
                     if seq_len is not None
                     else int(rng.integers(seq_len_range[0], seq_len_range[1]))
                 )
-                raw = _synth_sequence(
+                raw, seq_freq = _synth_sequence(
                     rng, n, ci, difficulty=difficulty, freq_jitter=freq_jitter
                 )
                 sdir = root / "sensor" / class_dir
@@ -93,6 +104,7 @@ def generate_synthetic_dataset(
                         size=video_size,
                         fps=fps,
                         difficulty=difficulty,
+                        pulse_freq=seq_freq if cross_modal_coupling else None,
                     )
 
                 label = ci
@@ -133,12 +145,12 @@ def _synth_sequence(
     for c in range(3, 6):
         out[:, c] = amp_gyr * np.sin(2 * np.pi * freq * (c - 2) * t + phase[c])
     out += rng.normal(0, noise, size=out.shape)
-    return out.astype(np.float32)
+    return out.astype(np.float32), float(freq)
 
 
 def _write_video(
     path: Path, rng, class_idx: int, num_frames: int, size, fps: float,
-    difficulty: str = "easy",
+    difficulty: str = "easy", pulse_freq: Optional[float] = None,
 ) -> None:
     import cv2
 
@@ -159,7 +171,13 @@ def _write_video(
         noise_sigma = 30.0
     for fi in range(num_frames):
         frame = rng.normal(base, noise_sigma, size=(h, w, 3)).astype(np.float32)
-        frame += tint * (0.5 + 0.5 * np.sin(2 * np.pi * fi / 16.0))
+        if pulse_freq is not None:
+            # cross_modal_coupling: brightness pulses at the sequence's IMU
+            # frequency (instance-level shared structure across modalities)
+            phase = 2 * np.pi * pulse_freq * fi / fps
+        else:
+            phase = 2 * np.pi * fi / 16.0
+        frame += tint * (0.5 + 0.5 * np.sin(phase))
         writer.write(np.clip(frame, 0, 255).astype(np.uint8))
     writer.release()
 
