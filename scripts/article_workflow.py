@@ -261,7 +261,13 @@ def main():
     pipe.run_preprocessing()
     log(f"preprocessing done ({time.perf_counter() - t0:.0f}s)")
 
-    enc_params, pt_info = pretrain_on_pool(args, work)
+    # f32 matmul precision for the pretrain stage only: on TPU the default
+    # bf16 matmul precision STALLS the coupled InfoNCE task completely (chip:
+    # val pinned at ln 64 for 15 epochs; the same pool data on CPU f32 reaches
+    # val 0.08 by epoch 2 — the early similarity-matrix gradients round away
+    # at bf16's 8-bit mantissa).  The supervised arms keep default precision.
+    with jax.default_matmul_precision("float32"):
+        enc_params, pt_info = pretrain_on_pool(args, work)
     result["pretrain"].update(pt_info)
     log(f"pool pretraining done ({pt_info['wall_s']}s; "
         f"val loss {pt_info['val_loss'][:2]}...{pt_info['val_loss'][-2:]})")

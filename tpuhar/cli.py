@@ -101,14 +101,28 @@ class Pipeline:
         )
         loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="cross_modal")
         spe = max(len(loaders["train"]), 1)
-        task = build_crossmodal_task(cfg, spe, self._next_key(), mesh=self.mesh)
+        # Contrastive pretraining is precision-sensitive on TPU: with the
+        # default bf16 matmul precision (f32 operands) the InfoNCE similarity
+        # gradients can round to nothing and training silently pins at ln(B) —
+        # measured on the coupled hard fixture: 15 chip epochs at ln 64 while
+        # the same data on CPU f32 reached val 0.08 by epoch 2.  This knob only
+        # affects f32 operands; compute_dtype="bfloat16" models are untouched.
+        prec = str(getattr(cfg.training, "pretrain_matmul_precision", "float32"))
+        import contextlib
 
-        trainer = CrossModalTrainer(
-            cfg, task.state, task.train_step, task.eval_step,
-            Path(cfg.paths.checkpoints_dir) / "cross_modal", self._next_key(),
-            mesh=self.mesh,
+        prec_ctx = (
+            contextlib.nullcontext() if prec in ("", "default")
+            else jax.default_matmul_precision(prec)
         )
-        task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
+        with prec_ctx:
+            task = build_crossmodal_task(cfg, spe, self._next_key(), mesh=self.mesh)
+
+            trainer = CrossModalTrainer(
+                cfg, task.state, task.train_step, task.eval_step,
+                Path(cfg.paths.checkpoints_dir) / "cross_modal", self._next_key(),
+                mesh=self.mesh,
+            )
+            task.state = trainer.fit(loaders["train"], loaders["val"], resume=resume)
 
         plots.plot_training_curves(
             trainer.history,

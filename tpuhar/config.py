@@ -250,6 +250,13 @@ class TrainingConfig:
     pretrain_lr: float = 1e-4
     pretrain_weight_decay: float = 0.01
     pretrain_warmup_epochs: int = 5
+    # Matmul precision for the pretraining stage's f32 operands ("float32" |
+    # "tensorfloat32" | "default").  TPU's default bf16 matmul precision can
+    # silently stall contrastive pretraining — the InfoNCE similarity gradients
+    # round away and the loss pins at ln(batch) (measured: 15 chip epochs flat
+    # at ln 64 on data CPU-f32 solves by epoch 2; scripts/article_workflow.py).
+    # Only affects f32 operands; compute_dtype="bfloat16" towers are untouched.
+    pretrain_matmul_precision: str = "float32"
 
     # Contrastive loss
     temperature: float = 0.07
