@@ -38,6 +38,116 @@ def log(msg):
 
 
 _LAST_TPU_RESULT = "docs/bench_last_tpu.json"
+_UNSTABLE_RESULT = "docs/bench_unstable_last.json"
+
+# ---------------------------------------------------------------------------
+# Measurement hygiene (VERDICT r4 weak #1/#6: BENCH_r04 published a 25,402
+# inf/s headline whose own trial list contained a physically impossible 1.04 ms
+# step — tunnel noise straight into the round's perf record).  Three defenses:
+#   1. physical-floor reject: a trial below the tower's measured stage-floor sum
+#      is a measurement bug BY DEFINITION (the chip cannot run the program that
+#      fast) and is discarded, never averaged.
+#   2. dispersion gate: if IQR/median of accepted trials exceeds 15%, escalate
+#      5 -> 9 trials; if still over, the record is marked "unstable": true,
+#      bench.py refuses to overwrite the last stable record with it, and
+#      update_bench_docs.py refuses to regenerate doc headlines from it.
+#   3. host-contention log: 1-core box — a busy concurrent process corrupts
+#      chained-loop timing (r3 stream lesson); load + busy-process count are
+#      recorded so a contaminated run is diagnosable after the fact.
+BASE_TRIALS = 5
+MAX_TRIALS = 9
+DISPERSION_GATE = 0.15
+
+# Stage-floor sums at batch 256 for the flagship tower (docs/BENCHMARKS.md
+# perf_int8_stages / stem tables: int8 tower ≈11 ms, bf16 best-ever 30.8 ms).
+# Floors sit safely below every legitimate measurement and safely above the
+# garbage (r4's 1.0-6.0 ms trials).  Linear in batch; only towers with a
+# measured stage decomposition get a floor — others rely on the dispersion gate.
+STAGE_FLOOR_MS = {
+    ("tpu_cnn", "bf16"): 15.0,
+    ("tpu_cnn", "int8"): 8.0,
+}
+
+
+def _physical_floor_ms(backbone: str, batch: int, kind: str):
+    f = STAGE_FLOOR_MS.get((backbone, kind))
+    return None if f is None else f * batch / 256.0
+
+
+def _iqr_over_median(vals) -> float:
+    q1, q3 = np.percentile(vals, [25, 75])
+    med = float(np.median(vals))
+    return float((q3 - q1) / med) if med else float("inf")
+
+
+def _host_contention() -> dict:
+    """1-min load + count of other CPU-busy processes (timing contamination tell)."""
+    import os
+    import subprocess
+
+    info = {"load1": round(os.getloadavg()[0], 2)}
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pcpu=,pid=,comm="], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+        me = os.getpid()
+        busy = [
+            ln for ln in out.splitlines()
+            if ln.split() and float(ln.split()[0]) > 20.0
+            and int(ln.split()[1]) != me
+        ]
+        info["busy_procs"] = len(busy)
+        if busy:
+            info["busy_proc_names"] = [ln.split()[2] for ln in busy][:5]
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
+    return info
+
+
+def robust_measure(step_fn, floor_ms, label, base_trials=BASE_TRIALS,
+                   max_trials=MAX_TRIALS):
+    """Collect step-time trials (ms) from ``step_fn() -> seconds`` with
+    floor-reject + dispersion-gated escalation.  Returns a dict with the
+    accepted-trial median, the full accepted/rejected lists, and ``unstable``.
+    """
+    accepted, rejected = [], []
+    target = base_trials
+    while True:
+        while len(accepted) + len(rejected) < target:
+            s = step_fn() * 1e3
+            if floor_ms is not None and s < floor_ms:
+                log(f"[{label}] REJECT sub-floor trial {s:.2f} ms "
+                    f"(< {floor_ms:.2f} ms physical floor)")
+                rejected.append(round(s, 3))
+            else:
+                accepted.append(round(s, 3))
+        if len(accepted) >= 2:
+            disp = _iqr_over_median(accepted)
+            if disp <= DISPERSION_GATE:
+                break
+        if target >= max_trials:
+            break
+        log(f"[{label}] trials too dispersed/rejected; escalating "
+            f"{target} -> {max_trials} trials")
+        target = max_trials
+    unstable = (
+        len(accepted) < 2 or _iqr_over_median(accepted) > DISPERSION_GATE
+    )
+    median_ms = float(np.median(accepted if accepted else rejected))
+    out = {
+        "median_ms": median_ms,
+        "trials_ms": accepted,
+        "unstable": bool(unstable),
+    }
+    if accepted:
+        out["dispersion"] = round(_iqr_over_median(accepted), 4)
+    if rejected:
+        out["rejected_ms"] = rejected
+    if unstable:
+        log(f"[{label}] UNSTABLE measurement: accepted={accepted} "
+            f"rejected={rejected}")
+    return out
 
 
 def _emit_stale_fallback(reason: str) -> None:
@@ -173,28 +283,27 @@ def main():
         _ = float(np.asarray(val))  # host readback = true completion
         return time.perf_counter() - t0
 
-    def measure_trials(run_fn, n_trials=trials):
-        """Per-trial step time: (t(iters) − t(1)) / (iters − 1), n_trials times.
+    max_trials = MAX_TRIALS if platform != "cpu" else trials
 
-        A single-shot min-of-2 is not a headline (VERDICT r3): the axon tunnel
-        drifts run-to-run, so every published step time carries a median and
-        the full trial list.  Each trial pairs its own t(1) with its own
-        t(iters) so a slow dispatch perturbs one trial, not the aggregate.
-        """
-        steps = []
-        for _ in range(n_trials):
-            t1 = run_fn(1)
-            tk = run_fn(iters)
-            steps.append((tk - t1) / (iters - 1))
-        return steps
+    def one_step(run_fn=run):
+        # Each trial pairs its own t(1) with its own t(iters) so a slow
+        # dispatch perturbs one trial, not the aggregate (VERDICT r3).
+        t1 = run_fn(1)
+        tk = run_fn(iters)
+        return (tk - t1) / (iters - 1)
 
+    host_load_start = _host_contention()
+    log(f"host contention at start: {host_load_start}")
     run(1)  # compile chained(1)
     run(iters)  # compile chained(iters)
-    step_trials = measure_trials(run)
-    step_s = float(np.median(step_trials))
+    bf16_floor = _physical_floor_ms(cfg.model.video_backbone, batch, "bf16")
+    bf16_meas = robust_measure(
+        one_step, bf16_floor, "bf16", base_trials=trials, max_trials=max_trials
+    )
+    step_ms = bf16_meas["median_ms"]
+    step_s = step_ms / 1e3
     throughput = batch / step_s
-    step_ms = step_s * 1e3
-    step_trials_ms = [round(s * 1e3, 3) for s in step_trials]
+    step_trials_ms = bf16_meas["trials_ms"]
 
     # p50 end-to-end batch latency (dispatch + execute + scalar readback)
     lat = []
@@ -225,11 +334,17 @@ def main():
         _ = float(np.asarray(jfn(imu_b, video_b)["logits"][0, 0]))  # compile
         log(f"latency sweep: compiled batch={b} in {time.perf_counter() - t0:.1f}s")
         samples = []
-        for _ in range(11 if platform != "cpu" else 3):
+        for _ in range(15 if platform != "cpu" else 3):
             tb = time.perf_counter()
             _ = float(np.asarray(jfn(imu_b, video_b)["logits"][0, 0]))
             samples.append(time.perf_counter() - tb)
         latency_sweep_ms[str(b)] = round(float(np.median(samples)) * 1e3, 3)
+        if len(samples) > 3 and _iqr_over_median(samples) > 0.3:
+            # tunnel-congestion tell (r4's batch-32 44 ms vs the flat ~31 ms of
+            # every clean record) — label it rather than publish it as fact
+            latency_sweep_ms[str(b) + "_dispersed"] = round(
+                _iqr_over_median(samples), 3
+            )
     p50_window_ms = latency_sweep_ms.get("1")
 
     log(
@@ -317,15 +432,72 @@ def main():
 
                 return run_q
 
+            int8_floor = _physical_floor_ms(
+                cfg.model.video_backbone, batch, "int8"
+            )
+
+            def robust_measure_wires(run_q, label, base_rounds=trials,
+                                     max_rounds=max_trials):
+                """Interleaved per-wire trials (trial i of every wire runs
+                back-to-back so tunnel drift perturbs a trial, not a wire) with
+                the same floor-reject + dispersion-gate as the bf16 headline.
+                Returns ({wire: meas_dict}, any_unstable)."""
+                acc = {w: [] for w in wires}
+                rej = {w: [] for w in wires}
+                rounds, target = 0, base_rounds
+                while True:
+                    while rounds < target:
+                        for w in wires:
+                            t1w = run_q(1, w)
+                            tkw = run_q(iters, w)
+                            s = (tkw - t1w) / (iters - 1) * 1e3
+                            if int8_floor is not None and s < int8_floor:
+                                log(f"[{label}:{w}] REJECT sub-floor trial "
+                                    f"{s:.2f} ms (< {int8_floor:.2f} ms)")
+                                rej[w].append(round(s, 3))
+                            else:
+                                acc[w].append(round(s, 3))
+                        rounds += 1
+                    bad = [
+                        w for w in wires
+                        if len(acc[w]) < 2
+                        or _iqr_over_median(acc[w]) > DISPERSION_GATE
+                    ]
+                    if not bad or target >= max_rounds:
+                        break
+                    log(f"[{label}] wires {bad} dispersed/rejected; escalating "
+                        f"{target} -> {max_rounds} rounds")
+                    target = max_rounds
+                meas = {}
+                any_unstable = False
+                for w in wires:
+                    unstable = (
+                        len(acc[w]) < 2
+                        or _iqr_over_median(acc[w]) > DISPERSION_GATE
+                    )
+                    any_unstable |= unstable
+                    meas[w] = {
+                        "median_ms": float(
+                            np.median(acc[w] if acc[w] else rej[w])
+                        ),
+                        "trials_ms": acc[w],
+                        "unstable": bool(unstable),
+                        **({"rejected_ms": rej[w]} if rej[w] else {}),
+                    }
+                    if unstable:
+                        log(f"[{label}:{w}] UNSTABLE: acc={acc[w]} rej={rej[w]}")
+                return meas, any_unstable
+
             log("building int8 quantized forward (calibration on CPU)...")
             run_base = make_runner(resident=False)
             for w in wires:
                 run_base(1, w); run_base(iters, w)  # compile both wires
-            base_trials = {
-                w: measure_trials(lambda k, w=w: run_base(k, w), 3) for w in wires
-            }
-            base_steps = {w: float(np.median(t)) for w, t in base_trials.items()}
+            base_meas, base_unstable = robust_measure_wires(
+                run_base, "int8", base_rounds=3, max_rounds=max(3, max_trials - 2)
+            )
+            base_steps = {w: m["median_ms"] / 1e3 for w, m in base_meas.items()}
             step_q = min(base_steps.values())
+            int8_unstable = base_unstable
             log(
                 f"int8 throughput={batch / step_q:.0f} inf/s/chip  "
                 f"step={step_q * 1e3:.2f}ms  ({step_ms / (step_q * 1e3):.2f}x bf16)  "
@@ -333,7 +505,6 @@ def main():
             )
             int8_variant = "baseline"
             int8_wire = min(base_steps, key=base_steps.get)
-            res_trials = {}
             # int8-resident rewrite (producer-side quantization, int8 activations in
             # HBM): measured alongside; the faster program becomes int8_value.
             try:
@@ -341,15 +512,13 @@ def main():
                 run_res = make_runner(resident=True)
                 for w in wires:
                     run_res(1, w); run_res(iters, w)
-                # interleave the wire trials: trial i of every wire runs
-                # back-to-back, so tunnel drift perturbs a trial, not a wire
-                res_trials = {w: [] for w in wires}
-                for _ in range(trials):
-                    for w in wires:
-                        t1w = run_res(1, w)
-                        tkw = run_res(iters, w)
-                        res_trials[w].append((tkw - t1w) / (iters - 1))
-                res_steps = {w: float(np.median(t)) for w, t in res_trials.items()}
+                res_meas, res_unstable = robust_measure_wires(
+                    run_res, "int8res"
+                )
+                int8_unstable |= res_unstable
+                res_steps = {
+                    w: m["median_ms"] / 1e3 for w, m in res_meas.items()
+                }
                 step_r = min(res_steps.values())
                 log(
                     f"int8-resident throughput={batch / step_r:.0f} inf/s/chip  "
@@ -362,8 +531,14 @@ def main():
                     w: round(s * 1e3, 3) for w, s in res_steps.items()
                 }
                 int8_extras["int8_resident_wire_trials_ms"] = {
-                    w: [round(s * 1e3, 3) for s in t] for w, t in res_trials.items()
+                    w: m["trials_ms"] for w, m in res_meas.items()
                 }
+                rej = {
+                    w: m["rejected_ms"] for w, m in res_meas.items()
+                    if m.get("rejected_ms")
+                }
+                if rej:
+                    int8_extras["int8_resident_wire_rejected_ms"] = rej
                 if step_r < step_q:
                     step_q, int8_variant = step_r, "resident"
                     int8_wire = min(res_steps, key=res_steps.get)
@@ -376,9 +551,12 @@ def main():
                 int8_variant=int8_variant,
                 int8_wire=int8_wire,
             )
+            if int8_unstable:
+                int8_extras["int8_unstable"] = True
         except Exception as e:  # noqa: BLE001 — headline must survive int8 issues
             log(f"int8 path skipped: {type(e).__name__}: {str(e)[:200]}")
 
+    host_load_end = _host_contention()
     result = {
         "metric": "fused_imu_video_inferences_per_sec_per_chip",
         "value": round(throughput, 1),
@@ -386,17 +564,28 @@ def main():
         "vs_baseline": round(throughput / 5000.0, 4),
         "batch": batch,
         "step_ms": round(step_ms, 3),
+        "step_trials_ms": step_trials_ms,
         "p50_batch_latency_ms": round(p50_batch_ms, 3),
         "p50_window_latency_ms": p50_window_ms,
         "latency_sweep_ms": latency_sweep_ms,
         "platform": platform,
         "backbone": cfg.model.video_backbone,
+        "host_load": {"start": host_load_start, "end": host_load_end},
         **int8_extras,
     }
+    if bf16_meas.get("dispersion") is not None:
+        result["step_dispersion"] = bf16_meas["dispersion"]
+    if bf16_meas.get("rejected_ms"):
+        result["step_rejected_ms"] = bf16_meas["rejected_ms"]
+    if bf16_meas["unstable"]:
+        result["unstable"] = True
     if (
         INT8_HEADLINE
         and "int8_value" in int8_extras
         and int8_extras["int8_value"] > throughput
+        # never promote an unstable int8 measurement over a stable bf16 one —
+        # the r4 25,402 record came from exactly this hole
+        and not int8_extras.get("int8_unstable")
     ):
         # Promote int8 only when it actually wins: on ViT towers the int8 path
         # measured 0.56x bf16 on-chip (bf16 attention + requantize overhead), so
@@ -413,7 +602,8 @@ def main():
         for k in ("int8_value", "int8_step_ms", "int8_vs_baseline"):
             result.pop(k, None)
     if platform != "cpu" and cfg.model.video_backbone == "tpu_cnn":
-        # persist the default-config chip measurement for the stale fallback
+        # persist the default-config chip measurement for the stale fallback —
+        # but never clobber the last stable record with an unstable one
         try:
             import datetime
             import os
@@ -423,11 +613,42 @@ def main():
                 datetime.datetime.now(datetime.timezone.utc).isoformat()
             )
             os.makedirs("docs", exist_ok=True)
-            with open(_LAST_TPU_RESULT, "w") as f:
+            target = (
+                _UNSTABLE_RESULT if result.get("unstable") else _LAST_TPU_RESULT
+            )
+            with open(target, "w") as f:
                 json.dump(rec, f, indent=1)
+            if result.get("unstable"):
+                log(f"UNSTABLE record written to {target}; "
+                    f"{_LAST_TPU_RESULT} (the doc source) left untouched")
+            else:
+                # record -> docs is one atomic step: no bench run (the
+                # driver's included) may leave the doc-drift test red
+                _regenerate_docs()
         except OSError as e:
             log(f"could not persist last-TPU record: {e}")
     print(json.dumps(result))
+
+
+def _regenerate_docs() -> None:
+    """Regenerate the doc headline blocks from the just-written record."""
+    import importlib.util
+    import os
+
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "update_bench_docs",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "update_bench_docs.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rec = json.loads(open(_LAST_TPU_RESULT).read())
+        for p, text in mod.regenerate(rec).items():
+            p.write_text(text)
+            log(f"regenerated doc headline: {p}")
+    except Exception as e:  # noqa: BLE001 — doc regen must not kill the bench
+        log(f"doc regeneration failed (docs may drift): {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -120,6 +120,13 @@ def main():
     check = "--check" in sys.argv
     collect = "--collect" in sys.argv
     rec = json.loads(RECORD.read_text())
+    if rec.get("unstable"):
+        # bench.py writes unstable measurements to bench_unstable_last.json and
+        # never to the doc-source record; if one lands here anyway (manual
+        # copy), refuse to propagate it into the published headlines.
+        print(f"REFUSING: {RECORD} is marked unstable — docs keep the last "
+              "stable headline")
+        sys.exit(0 if check else 1)
     changes = regenerate(rec, collect=collect)
     if check:
         if changes:
