@@ -57,6 +57,12 @@ def parse_args():
     # reference's actual setting: pretrain on the full dataset, few-shot on
     # scarce labels (/root/reference/main.py:275-339).
     p.add_argument("--pretrain-samples", type=int, default=40)
+    # Abort a failing pretrain instead of burning the budget: the r4 chip run
+    # kept training ~6 epochs after val InfoNCE started rising (memorization
+    # visible at epoch 9 of 15) — VERDICT r4 #7.  CrossModalTrainer's
+    # min-val-loss patience implements the stop; 4 epochs of no improvement
+    # ends the stage and the result JSON records how many epochs actually ran.
+    p.add_argument("--pretrain-patience", type=int, default=4)
     # Budget measured on THIS fixture (scripts/probe_imu_hard_lr.py,
     # docs/probe_imu_hard_lr.json): encoder lr >=1e-3 diverges (train acc
     # pinned at chance), 3e-4 learns, 1e-4 too slow; the head alone is stable
@@ -164,6 +170,7 @@ def pretrain_on_pool(args, work: Path):
     cfg.training.use_sigmoid_loss = bool(args.sigmoid)
     cfg.training.pretrain_lr = args.pretrain_lr
     cfg.training.seed = args.seed
+    cfg.training.patience = args.pretrain_patience
     pipe = Pipeline(cfg)
     t0 = time.perf_counter()
     pipe.run_preprocessing()
@@ -174,12 +181,21 @@ def pretrain_on_pool(args, work: Path):
     # learning from pair-memorization (chip history: val 4.14 -> 8.8 = overfit)
     hist_path = pool / "out" / "checkpoints" / "cross_modal" / "training_history.json"
     hist = json.loads(hist_path.read_text()) if hist_path.exists() else {}
-    return enc_params, {
+    epochs_ran = len(hist.get("train", []))
+    info = {
         "wall_s": round(time.perf_counter() - t0, 1),
         "pool_samples_per_class": args.pretrain_samples,
+        "epochs_ran": epochs_ran,
         "train_loss": [round(float(x), 3) for x in hist.get("train", [])],
         "val_loss": [round(float(x), 3) for x in hist.get("val", [])],
     }
+    if epochs_ran and epochs_ran < args.pretrain_epochs:
+        info["early_stopped"] = (
+            f"val loss stopped improving for {args.pretrain_patience} epochs "
+            f"(ran {epochs_ran}/{args.pretrain_epochs})"
+        )
+        log(f"pretrain early-stopped: {info['early_stopped']}")
+    return enc_params, info
 
 
 def full_data_arm(cfg, dfs, enc_params, mode: str, tag: str, rng):
@@ -242,6 +258,22 @@ def main():
 
     cfg = build_config(args, work)
     result = {
+        # full resolved invocation (VERDICT r4 weak #3: the r4 chip artifact
+        # recorded pool size + epochs but not lr/batch/seed, so the
+        # CPU-generalizes-vs-chip-memorizes contradiction couldn't even be
+        # diagnosed from the JSON)
+        "resolved_args": {k: str(v) if isinstance(v, Path) else v
+                          for k, v in vars(args).items()},
+        "resolved_training": {
+            "pretrain_lr": cfg.training.pretrain_lr,
+            "pretrain_batch_size": cfg.training.pretrain_batch_size,
+            "train_batch_size": cfg.training.train_batch_size,
+            "train_lr_encoder": cfg.training.train_lr_encoder,
+            "train_lr_head": cfg.training.train_lr_head,
+            "seed": cfg.training.seed,
+            "compute_dtype": cfg.model.compute_dtype,
+            "pretrain_matmul_precision": "float32 (explicit context)",
+        },
         "fixture": {
             "difficulty": "hard", "coupled": bool(args.coupling),
             "classes": args.classes,

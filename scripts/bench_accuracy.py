@@ -68,6 +68,12 @@ def parse_args():
     p.add_argument("--quick", action="store_true", help="tiny CPU smoke settings")
     p.add_argument("--skip-ood", action="store_true")
     p.add_argument(
+        "--set", action="append", default=[], dest="overrides",
+        help="config override applied to every tower, e.g. "
+        "--set model.video_pretrained=true "
+        "--set model.video_weights_path=/path/ckpt.bin (REAL_WEIGHTS.md)",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="reuse completed checkpoints (fusion_full / ood_loo_{c} dirs with a "
         "training_history.json) instead of retraining — lets an interrupted run "
@@ -101,6 +107,9 @@ def build_config(args, fixture, outroot, backbone, shared_preprocessed):
         cfg.model.fusion_heads = 4
         cfg.model.video_d_model = 48
         cfg.model.compute_dtype = "float32"
+    for override in getattr(args, "overrides", []):
+        key, value = override.split("=", 1)
+        cfg.override(key, value)
     # All towers score the same preprocessed windows + frame bank.
     cfg.paths.preprocessed_dir = Path(shared_preprocessed)
     cfg.paths.ensure_dirs()

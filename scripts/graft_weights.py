@@ -64,6 +64,11 @@ def main():
                     help="write the digest manifest JSON here (default: <out>.manifest.json)")
     ap.add_argument("--set", action="append", default=[],
                     help="config override, e.g. --set data.video_resize=[160,160]")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="validate the checkpoint WITHOUT building a model: "
+                         "load + envelope-normalize + layout-convert, then "
+                         "print a schema/digest report (fast; catches missing "
+                         "keys, wrong variant, final-norm mismatch)")
     args = ap.parse_args()
 
     from tpuhar.config import Config
@@ -77,6 +82,29 @@ def main():
     for override in args.set:
         key, value = override.split("=", 1)
         cfg.override(key, value)
+
+    if args.dry_run:
+        from tpuhar.models.convert import convert_video_backbone, load_state_dict
+
+        sd = load_state_dict(args.checkpoint)
+        print(f"loaded {len(sd)} tensors from {args.checkpoint}", file=sys.stderr)
+        converted = convert_video_backbone(sd, cfg)  # raises diagnosably on schema mismatch
+        tree = converted[0] if isinstance(converted, tuple) else converted
+        report = {
+            "dry_run": True,
+            "source": str(args.checkpoint),
+            "backbone": args.backbone,
+            "source_tensors": len(sd),
+            "converted_video_encoder_tensors": tensor_digest(tree),
+        }
+        if isinstance(converted, tuple) and converted[1]:
+            report["converted_batch_stats_tensors"] = tensor_digest(converted[1])
+        mpath = Path(args.manifest or (args.checkpoint + ".dryrun.json"))
+        mpath.write_text(json.dumps(report, indent=1))
+        n = len(report["converted_video_encoder_tensors"])
+        print(f"DRY RUN OK: checkpoint converts cleanly to {n} "
+              f"{args.backbone} tensors\nreport -> {mpath}")
+        return
 
     d = cfg.data
     model = FusionClassifier(cfg)

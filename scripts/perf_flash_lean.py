@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Lean flash kernel A/B at the ViT serving shape (VERDICT r4 #5).
+
+Unit level (batch 64, N=1568, d=384, 6 heads of 64):
+  a_xla      flax nn.MultiHeadDotProductAttention core math (materializing) —
+             measured 7.9 ms/unit in r4, at 89% of the 7.1 ms score-traffic floor
+  a_lean     ops/flash_lean.py (Q tiles 224 exact, KV 1568->1792 +14%)
+  a_lean_XXX block-size variants
+  a_library  stock Pallas flash (best prior config, block 512 -> pad 2048)
+Each unit is measured with the chained-loop + null-variant discipline (the
+loop-dependence tax is measured by g_null and subtracted in the reported
+net_ms — memory: bench-methodology-tax).
+
+Model level: full videomae_small forward (serving config, tanh GELU) with
+model.use_flash_attention off / lean / library.
+
+Run ON the TPU:  python scripts/perf_flash_lean.py [batch=64]
+Output: markdown table (stderr) + one JSON line (stdout) -> docs/flash_lean.json
+"""
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    d, heads, N = 384, 6, 1568
+    hd = d // heads
+    npr = np.random.default_rng(0)
+
+    def chain(f, x, iters=12):
+        @partial(jax.jit, static_argnames=("it",))
+        def run(x, it):
+            def body(i, carry):
+                x, acc = carry
+                out = f(x + (acc * 1e-20).astype(x.dtype))
+                return x, acc + jnp.sum(out).astype(jnp.float32) * 1e-12
+
+            _, acc = lax.fori_loop(0, it, body, (x, jnp.float32(0)))
+            return acc
+
+        def t(k):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run(x, k)))
+            return time.perf_counter() - t0
+
+        t(1); t(iters)
+        trials = [(t(iters) - t(1)) / (iters - 1) for _ in range(3)]
+        return float(np.median(trials)) * 1e3
+
+    units = {}
+    qkv = jax.device_put(
+        npr.normal(0, 1, (3, B, heads, N, hd)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    # null: the loop-dependence tax on the same operand (read + trivial op)
+    units["g_null"] = chain(lambda x: x * 1.0000001, qkv)
+
+    from tpuhar.ops.attention import _reference_attention, flash_mha
+    from tpuhar.ops.flash_lean import flash_lean
+
+    sm = 1.0 / hd**0.5
+    units["a_xla"] = chain(
+        lambda x: _reference_attention(x[0], x[1], x[2], sm), qkv
+    )
+    for bq, bk, tag in ((224, 256, "lean"), (224, 512, "lean_k512"),
+                        (448, 256, "lean_q448"), (112, 256, "lean_q112")):
+        units[f"a_{tag}"] = chain(
+            lambda x, bq=bq, bk=bk: flash_lean(
+                x[0], x[1], x[2], block_q=bq, block_k=bk, interpret=False
+            ),
+            qkv,
+        )
+    try:
+        units["a_library"] = chain(
+            lambda x: flash_mha(
+                x[0], x[1], x[2], kernel="library",
+                block_q=512, block_k=512,
+            ),
+            qkv,
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"library kernel failed: {type(e).__name__}: {str(e)[:200]}")
+
+    null = units["g_null"]
+    log("\n| unit | ms | net of null |")
+    log("|---|---|---|")
+    for k, v in units.items():
+        log(f"| {k} | {v:.3f} | {max(v - null, 0):.3f} |")
+
+    # ---- full model A/B -----------------------------------------------------------
+    from tpuhar.config import Config
+    from tpuhar.models.video import build_video_encoder
+
+    model_ms = {}
+    for mode in ("off", "lean", "library"):
+        cfg = Config()
+        m = cfg.model
+        m.video_backbone = "videomae_small"
+        m.compute_dtype = "bfloat16"
+        m.gelu_approximate = True
+        m.use_flash_attention = mode != "off"
+        m.flash_kernel = mode if mode != "off" else "lean"
+        cfg.data.video_frames_per_window = 16
+        cfg.data.video_resize = (224, 224)
+        enc = build_video_encoder(cfg)
+        clip = jax.device_put(
+            npr.normal(0, 1, (B, 16, 224, 224, 3)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = enc.init(jax.random.PRNGKey(0), np.zeros(
+                (1, 16, 224, 224, 3), np.float32))
+        try:
+            model_ms[mode] = chain(
+                lambda x, v=variables: enc.apply(v, x, train=False)[0], clip,
+                iters=6,
+            )
+            log(f"model[{mode}]: {model_ms[mode]:.1f} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"model[{mode}] failed: {type(e).__name__}: {str(e)[:200]}")
+
+    result = {
+        "bench": "flash_lean",
+        "batch": B,
+        "units_ms": {k: round(v, 3) for k, v in units.items()},
+        "model_ms": {k: round(v, 2) for k, v in model_ms.items()},
+    }
+    Path("docs/flash_lean.json").write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

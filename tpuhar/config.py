@@ -219,6 +219,9 @@ class ModelConfig:
     use_flash_attention: bool = False
     flash_block_q: int = 512
     flash_block_k: int = 512
+    # "lean": purpose-built forward-only kernel (ops/flash_lean.py — Q tiles
+    # divide N=1568 exactly, KV pads +14%); "library": stock Pallas kernel.
+    flash_kernel: str = "lean"
 
     # Serving conv backend for the TPUVideoCNN residual stages: "xla" or "pallas"
     # (ops/conv3x3.py fused conv+BN+ReLU+residual kernel; eval-mode only — training

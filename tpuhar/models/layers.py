@@ -79,6 +79,7 @@ class PreNormBlock(nn.Module):
     use_flash: bool = False
     flash_block_q: int = 512
     flash_block_k: int = 512
+    flash_kernel: str = "lean"
     # tanh-approximate GELU: ~2.6× faster block-MLP on the VPU at bf16 with
     # rel-RMS drift 2.5e-3 (scripts/perf_vit_stages2.py); exact erf is the
     # default for HF weight-conversion parity.
@@ -96,6 +97,7 @@ class PreNormBlock(nn.Module):
                 qkv_features=self.d_model,
                 block_q=self.flash_block_q,
                 block_k=self.flash_block_k,
+                kernel=self.flash_kernel,
                 dtype=self.dtype,
                 name="self_attn",
             )(h, deterministic=deterministic)

@@ -82,6 +82,7 @@ class VideoViT(nn.Module):
     use_flash: bool = False
     flash_block_q: int = 512
     flash_block_k: int = 512
+    flash_kernel: str = "lean"
     # tanh-approximate MLP GELU (serving fast path; see PreNormBlock)
     gelu_approximate: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -107,6 +108,7 @@ class VideoViT(nn.Module):
                 use_flash=self.use_flash,
                 flash_block_q=self.flash_block_q,
                 flash_block_k=self.flash_block_k,
+                flash_kernel=self.flash_kernel,
                 gelu_approximate=self.gelu_approximate,
                 dtype=self.dtype,
                 name=f"block{i}",
@@ -447,6 +449,7 @@ class VideoEncoder(nn.Module):
     use_flash: bool = False
     flash_block_q: int = 512
     flash_block_k: int = 512
+    flash_kernel: str = "lean"
     use_final_norm: bool = True
     conv_backend: str = "xla"
     gelu_approximate: bool = False
@@ -462,6 +465,7 @@ class VideoEncoder(nn.Module):
                 depth=depth, d_model=d_model, num_heads=heads, pool=self.pool,
                 remat=self.remat, use_flash=self.use_flash,
                 flash_block_q=self.flash_block_q, flash_block_k=self.flash_block_k,
+                flash_kernel=self.flash_kernel,
                 use_final_norm=self.use_final_norm,
                 gelu_approximate=self.gelu_approximate, dtype=self.dtype,
                 name="vit",
@@ -514,6 +518,7 @@ def build_video_encoder(config, dtype=None):
         use_flash=m.use_flash_attention,
         flash_block_q=int(getattr(m, "flash_block_q", 512)),
         flash_block_k=int(getattr(m, "flash_block_k", 512)),
+        flash_kernel=str(getattr(m, "flash_kernel", "lean")),
         use_final_norm=bool(getattr(m, "video_use_final_norm", True)),
         conv_backend=str(getattr(m, "conv_backend", "xla")),
         gelu_approximate=bool(getattr(m, "gelu_approximate", False)),

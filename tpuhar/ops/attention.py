@@ -34,15 +34,21 @@ def flash_mha(
     block_q: int = 512,
     block_k: int = 512,
     use_flash: bool = True,
+    kernel: str = "lean",
 ) -> jax.Array:
     """Multi-head attention over ``(B, H, N, D)`` tensors.
 
-    ``use_flash=False`` (or non-TPU backends) falls back to the XLA reference; the
-    flash path pads N to a block multiple and masks padding with segment ids.
+    ``use_flash=False`` (or non-TPU backends) falls back to the XLA reference.
+    ``kernel="lean"`` (default) uses the purpose-built forward-only kernel
+    (``ops.flash_lean`` — Q tiles divide N=1568 exactly, KV pads +14%);
+    ``kernel="library"`` uses the stock Pallas kernel, which pads N to a block
+    multiple and masks padding with segment ids.
 
-    Block choice matters at VideoMAE's N=1568: blocks must be 128-multiples, so the
-    original 512/512 config padded to 2048 (+30% wasted K-work). Smaller blocks pad
-    less: 128→1664 (+6%), 256→1792 (+14%). Sweep with ``scripts/perf_flash.py``.
+    Block choice matters at VideoMAE's N=1568: library blocks must be
+    128-multiples, so the original 512/512 config padded to 2048 (+30% wasted
+    K-work). Smaller blocks pad less: 128→1664 (+6%), 256→1792 (+14%). Sweep
+    with ``scripts/perf_flash.py``; lean-vs-library-vs-XLA unit A/B in
+    ``scripts/perf_flash_lean.py``.
     """
     B, H, N, D = q.shape
     if sm_scale is None:
@@ -51,6 +57,15 @@ def flash_mha(
     platform = jax.devices()[0].platform
     if not use_flash or platform not in ("tpu",):
         return _reference_attention(q, k, v, sm_scale)
+
+    if kernel == "lean":
+        from .flash_lean import flash_lean
+
+        # the 512/512 defaults are library-kernel legacy; lean's tuned blocks
+        # for the ViT stream are 224 (divides 1568 exactly) / 256 (+14% pad)
+        bq = 224 if block_q == 512 else block_q
+        bk = 256 if block_k == 512 else block_k
+        return flash_lean(q, k, v, sm_scale=sm_scale, block_q=bq, block_k=bk)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -107,6 +122,7 @@ class FlashSelfAttention(nn.Module):
     use_flash: bool = True
     block_q: int = 512
     block_k: int = 512
+    kernel: str = "lean"  # "lean" (ops.flash_lean) | "library" (stock Pallas)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -128,7 +144,7 @@ class FlashSelfAttention(nn.Module):
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
         ctx = flash_mha(
             q, k, v, use_flash=self.use_flash,
-            block_q=self.block_q, block_k=self.block_k,
+            block_q=self.block_q, block_k=self.block_k, kernel=self.kernel,
         )
         ctx = jnp.swapaxes(ctx, 1, 2)  # (B, N, H, Dh)
         out = nn.DenseGeneral(
