@@ -84,7 +84,10 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         task = build_crossmodal_task(cfg, len(loaders["train"]), jax.random.PRNGKey(0))
-    state0 = task.state
+    # host-resident copy: the donated train_step would otherwise delete the
+    # shared init state's buffers after the first arm (device_put to the same
+    # device aliases rather than copies)
+    state0 = jax.device_get(task.state)
     rngs = jax.random.split(jax.random.PRNGKey(42), steps)
 
     from tpuhar.models.crossmodal import CrossModalModel
@@ -108,7 +111,7 @@ def main():
                     import jax.numpy as jnp
 
                     import tpuhar.losses as L
-                    from tpuhar.ops.featurize import normalize_clip
+                    from tpuhar.ops.video import normalize_clip
 
                     def loss_fn(params):
                         variables = {"params": params}
@@ -126,9 +129,25 @@ def main():
                     grad0 = float(
                         jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                                      for x in jax.tree_util.tree_leaves(g))))
+
+                    # constant-embedding pathology check at init: per-dim std
+                    # across the batch for both projections
+                    def fwd(params):
+                        variables = {"params": params}
+                        if state.batch_stats:
+                            variables["batch_stats"] = state.batch_stats
+                        from tpuhar.ops.video import normalize_clip as nc
+                        return model.apply(
+                            variables, db["imu"], nc(db["video"]), train=False)
+
+                    o = jax.jit(fwd)(state.params)
+                    emb_stats = {
+                        k: round(float(jnp.std(o[k], axis=0).mean()), 6)
+                        for k in ("imu_proj", "video_proj")
+                    }
                 state, metrics = train_step(state, db, jax.device_put(rngs[i], device))
                 losses.append(float(metrics["loss"]))
-        return losses, grad0
+        return losses, grad0, emb_stats
 
     arms = {}
     platform = jax.devices()[0].platform
@@ -140,14 +159,16 @@ def main():
         arms["tpu_highest"] = run_arm(tpu, "highest")
 
     out = {"bench": "pretrain_parity", "steps": steps, "arms": {}}
-    for name, (losses, g0) in arms.items():
+    for name, (losses, g0, emb) in arms.items():
         out["arms"][name] = {
             "grad_norm_step0": round(g0, 6) if g0 is not None else None,
+            "init_emb_std": emb,
             "loss_first5": [round(x, 4) for x in losses[:5]],
             "loss_last5": [round(x, 4) for x in losses[-5:]],
             "loss_final": round(losses[-1], 4),
         }
-        log(f"{name}: grad0={g0} first5={losses[:5]} last={losses[-1]:.4f}")
+        log(f"{name}: grad0={g0} emb_std={emb} first5={losses[:5]} "
+            f"last={losses[-1]:.4f}")
     Path("docs/pretrain_parity.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 

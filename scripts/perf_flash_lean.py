@@ -77,8 +77,14 @@ def main():
     units["a_xla"] = chain(
         lambda x: _reference_attention(x[0], x[1], x[2], sm), qkv
     )
+    # Round-1 chip result: online-softmax tiling loses — 24.4 ms (224/256) /
+    # 16.2 (224/512) vs 9.65 XLA; cost ≈ 1.3-1.5 us per grid cell, i.e.
+    # per-invocation overhead dominates the tiny per-cell compute at hd=64.
+    # Round 2: one-shot full-KV tiles (bk=1792 ⇒ nkv=1 — scores live and die
+    # in VMEM, no carry, grid cells cut 7x) + larger Q tiles.
     for bq, bk, tag in ((224, 256, "lean"), (224, 512, "lean_k512"),
-                        (448, 256, "lean_q448"), (112, 256, "lean_q112")):
+                        (224, 1792, "lean_kfull"), (392, 1792, "lean_q392_kfull"),
+                        (784, 1792, "lean_q784_kfull")):
         units[f"a_{tag}"] = chain(
             lambda x, bq=bq, bk=bk: flash_lean(
                 x[0], x[1], x[2], block_q=bq, block_k=bk, interpret=False
@@ -117,14 +123,14 @@ def main():
         m.flash_kernel = mode if mode != "off" else "lean"
         cfg.data.video_frames_per_window = 16
         cfg.data.video_resize = (224, 224)
-        enc = build_video_encoder(cfg)
-        clip = jax.device_put(
-            npr.normal(0, 1, (B, 16, 224, 224, 3)).astype(np.float32)
-        ).astype(jnp.bfloat16)
-        with jax.default_device(jax.devices("cpu")[0]):
-            variables = enc.init(jax.random.PRNGKey(0), np.zeros(
-                (1, 16, 224, 224, 3), np.float32))
         try:
+            enc = build_video_encoder(cfg)
+            clip = jax.device_put(
+                npr.normal(0, 1, (B, 16, 224, 224, 3)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            with jax.default_device(jax.devices("cpu")[0]):
+                variables = enc.init(jax.random.PRNGKey(0), np.zeros(
+                    (1, 16, 224, 224, 3), np.float32))
             model_ms[mode] = chain(
                 lambda x, v=variables: enc.apply(v, x, train=False)[0], clip,
                 iters=6,

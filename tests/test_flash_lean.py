@@ -24,6 +24,7 @@ def _rand(shape, dtype, seed):
     [
         (2, 2, 448, 64, 224, 224),   # exact tiling both sides
         (1, 2, 1568, 64, 224, 256),  # the serving shape: KV pads 1568->1792
+        (1, 1, 1568, 64, 392, 1792), # one-shot full-KV tiles (nkv=1)
         (2, 1, 100, 32, 64, 64),     # Q and KV both padded
         (1, 1, 224, 128, 224, 224),  # wider head_dim
     ],

@@ -54,7 +54,9 @@ def flash_mha(
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
 
-    platform = jax.devices()[0].platform
+    from .fused_window import _auto_platform
+
+    platform = _auto_platform()  # default_device(cpu)-aware (flax init on CPU)
     if not use_flash or platform not in ("tpu",):
         return _reference_attention(q, k, v, sm_scale)
 

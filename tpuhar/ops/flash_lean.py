@@ -106,7 +106,12 @@ def flash_lean(
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .fused_window import _auto_platform
+
+        # default_device(cpu)-aware: flax init-on-CPU in a TPU process must
+        # interpret, or pallas_call dies with "Only interpret mode is
+        # supported on CPU backend" (same trap as featurize/serving_quant)
+        interpret = _auto_platform() != "tpu"
 
     bq, bk = min(block_q, N), min(block_k, N)
     pad_q = (-N) % bq
