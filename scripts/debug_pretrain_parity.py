@@ -158,10 +158,44 @@ def main():
         arms["tpu_f32ctx"] = run_arm(tpu, "float32")
         arms["tpu_highest"] = run_arm(tpu, "highest")
 
+        # ---- pipeline-faithful arms: the REAL loop stalls while the arms
+        # above learn, so replicate the pipeline's remaining deltas — its key
+        # stream and its init DEVICE (the pipeline inits on the TPU; the
+        # probe and the learning CPU pipeline both init on CPU) -------------
+        def pipeline_faithful(init_on_cpu: bool):
+            pipe2 = Pipeline(cfg)
+            k_init = pipe2._next_key()
+            k_train = pipe2._next_key()
+            import contextlib
+
+            dev_ctx = (jax.default_device(cpu) if init_on_cpu
+                       else contextlib.nullcontext())
+            with dev_ctx:
+                task2 = build_crossmodal_task(
+                    cfg, len(loaders["train"]), k_init)
+            # init-params diagnostics: global norm + the init-batch loss
+            pnorm = float(jnp.sqrt(sum(
+                jnp.sum(np.asarray(x, np.float32) ** 2)
+                for x in jax.tree_util.tree_leaves(
+                    jax.device_get(task2.state.params)))))
+            state = jax.device_put(jax.device_get(task2.state), tpu)
+            rng = k_train
+            losses = []
+            for b in batches:
+                rng, sub = jax.random.split(rng)
+                db = {k: jax.device_put(v, tpu) for k, v in b.items()}
+                state, m = task2.train_step(state, db, sub)
+                losses.append(float(m["loss"]))
+            return losses, pnorm, {}
+
+        arms["tpu_pipe_faithful"] = pipeline_faithful(init_on_cpu=False)
+        arms["tpu_pipe_keys_cpuinit"] = pipeline_faithful(init_on_cpu=True)
+
     out = {"bench": "pretrain_parity", "steps": steps, "arms": {}}
     for name, (losses, g0, emb) in arms.items():
+        diag_key = "init_param_norm" if "pipe" in name else "grad_norm_step0"
         out["arms"][name] = {
-            "grad_norm_step0": round(g0, 6) if g0 is not None else None,
+            diag_key: round(g0, 6) if g0 is not None else None,
             "init_emb_std": emb,
             "loss_first5": [round(x, 4) for x in losses[:5]],
             "loss_last5": [round(x, 4) for x in losses[-5:]],

@@ -74,6 +74,23 @@ def main():
     from tpuhar.ops.flash_lean import flash_lean
 
     sm = 1.0 / hd**0.5
+
+    # ON-CHIP numeric parity gate before any timing is trusted: interpret-mode
+    # CPU tests don't catch Mosaic miscompiles (r3's int8 byte-map lesson).
+    numeric = {}
+    qs = qkv[:, :2]  # (3, 2, heads, N, hd) slice for the check
+    ref = jax.jit(lambda x: _reference_attention(x[0], x[1], x[2], sm))(qs)
+    for bq, bk, tag in ((392, 1792, "lean_q392_kfull"), (224, 256, "lean")):
+        got = jax.jit(lambda x, bq=bq, bk=bk: flash_lean(
+            x[0], x[1], x[2], block_q=bq, block_k=bk, interpret=False))(qs)
+        md = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                   - ref.astype(jnp.float32))))
+        rel = float(jnp.sqrt(jnp.mean((got.astype(jnp.float32) - ref.astype(
+            jnp.float32)) ** 2)) / jnp.sqrt(jnp.mean(ref.astype(
+            jnp.float32) ** 2)))
+        numeric[tag] = {"maxdiff": md, "rel_rms": rel}
+        log(f"numeric[{tag}]: maxdiff={md:.5f} rel_rms={rel:.6f}")
+        assert md < 0.05, f"lean kernel WRONG on chip ({tag}): maxdiff {md}"
     units["a_xla"] = chain(
         lambda x: _reference_attention(x[0], x[1], x[2], sm), qkv
     )
@@ -142,6 +159,7 @@ def main():
     result = {
         "bench": "flash_lean",
         "batch": B,
+        "numeric": numeric,
         "units_ms": {k: round(v, 3) for k, v in units.items()},
         "model_ms": {k: round(v, 2) for k, v in model_ms.items()},
     }

@@ -480,3 +480,37 @@ def test_fast_gelu_noop_for_cnn_backbones(rng):
     cfg = _cfg()
     engine = _fusion_engine(cfg)  # tiny_cnn
     assert engine.config.model.gelu_approximate is False
+
+
+def test_fast_attention_serving_vit(rng):
+    """ViT engines default to the lean flash-attention serving path
+    (parameter-free; TPU-only dispatch — on CPU the flag is set but
+    flash_mha falls back to the XLA reference, so logits are identical).
+    Chip numbers: 7.11 vs 9.54 ms per attention unit (docs/flash_lean.json)."""
+    cfg = _cfg()
+    cfg.model.video_backbone = "videomae_tiny"
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+
+    imu = rng.normal(0, 8000, size=(4, 250, 6)).astype(np.float32)
+    video = (rng.random((4, 4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    fast = InferenceEngine(cfg, variables, batch_sizes=[4])
+    off = InferenceEngine(cfg, variables, batch_sizes=[4], fast_attention=False)
+    assert fast.config.model.use_flash_attention is True
+    assert fast.config.model.flash_kernel == "lean"
+    assert off.config.model.use_flash_attention is False
+    assert cfg.model.use_flash_attention is False  # caller config untouched
+
+    a = np.asarray(fast.predict(imu, video)["logits"])
+    b = np.asarray(off.predict(imu, video)["logits"])
+    np.testing.assert_allclose(a, b, atol=1e-5)  # CPU: both are the XLA path
+
+
+def test_fast_attention_noop_for_cnn_towers(rng):
+    cfg = _cfg()
+    cfg.model.video_backbone = "tiny_cnn"
+    model = FusionClassifier(cfg)
+    variables = model.init(KEY, jnp.zeros((2, 6, 250)), jnp.zeros((2, 4, 32, 32, 3)))
+    eng = InferenceEngine(cfg, variables, batch_sizes=[4])
+    assert eng.config.model.use_flash_attention is False

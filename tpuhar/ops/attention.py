@@ -63,10 +63,10 @@ def flash_mha(
     if kernel == "lean":
         from .flash_lean import flash_lean
 
-        # the 512/512 defaults are library-kernel legacy; lean's tuned blocks
-        # for the ViT stream are 224 (divides 1568 exactly) / 256 (+14% pad)
-        bq = 224 if block_q == 512 else block_q
-        bk = 256 if block_k == 512 else block_k
+        # the 512/512 defaults are library-kernel legacy; lean's chip-tuned
+        # blocks for the ViT stream are one-shot full-KV tiles (392, 1792)
+        bq = 392 if block_q == 512 else block_q
+        bk = 1792 if block_k == 512 else block_k
         return flash_lean(q, k, v, sm_scale=sm_scale, block_q=bq, block_k=bk)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -62,6 +62,7 @@ class InferenceEngine:
         verify_byte_map: bool = False,
         int8_wire: str = "u8",
         fast_gelu: bool = True,
+        fast_attention: bool = True,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -111,6 +112,7 @@ class InferenceEngine:
             verify_byte_map=verify_byte_map,
             int8_wire=int8_wire,
             fast_gelu=fast_gelu,
+            fast_attention=fast_attention,
         )
         # Serving fast path for ViT backbones: tanh-approximate MLP GELU —
         # 2.97 → 1.15 ms per block-MLP at the serving shape with rel-RMS output
@@ -119,11 +121,22 @@ class InferenceEngine:
         # checkpoints serve unchanged; pass fast_gelu=False for bit-parity with
         # the training-time exact-erf forward.
         bb = config.model.video_backbone
-        if fast_gelu and not imu_only and ("/" in bb or "videomae" in bb.lower()):
+        is_vit = "/" in bb or "videomae" in bb.lower()
+        if (fast_gelu or fast_attention) and not imu_only and is_vit:
             import copy
 
             config = copy.deepcopy(config)
-            config.model.gelu_approximate = True
+            if fast_gelu:
+                config.model.gelu_approximate = True
+            if fast_attention:
+                # lean flash kernel (ops/flash_lean.py): one-shot full-KV
+                # tiles, 7.11 vs 9.54 ms per attention unit on chip at the
+                # serving shape (docs/flash_lean.json); numerics bf16-exact vs
+                # the XLA path (tests + on-chip check in perf_flash_lean).
+                # Parameter-free, so trained checkpoints serve unchanged; pass
+                # fast_attention=False for the materializing XLA attention.
+                config.model.use_flash_attention = True
+                config.model.flash_kernel = "lean" 
         self.config = config
         self.imu_only = imu_only
         self.batch_sizes = sorted(batch_sizes or [256])
