@@ -9,9 +9,10 @@ runs the full loop on the discriminative hard fixture — which can say NO — w
 a from-scratch control arm for every cell:
 
   1. hard fixture (class-overlapped IMU + video, optional label noise) → preprocess
-  2. cross-modal contrastive pretrain (InfoNCE by default: SigLIP collapses at
-     these batch sizes — docs/BENCHMARKS.md; ``--sigmoid`` uses the reference
-     loss anyway)
+  2. cross-modal contrastive pretrain (SigLIP — the reference's loss — by
+     default: it trains on this fixture on both platforms, while InfoNCE at
+     the default batch/lr/temperature stalls at ln(B) on both; ``--infonce``
+     reproduces that negative — docs/BENCHMARKS.md "Article workflow")
   3. FULL-DATA probe: linear_probe + finetune from the pretrained encoder AND
      from random init
   4. FEW-SHOT grid: n_samples × {linear_probe, finetune} × runs, pretrained vs
@@ -83,8 +84,19 @@ def parse_args():
     # negative; the default demonstrates transfer where transfer is learnable.
     p.add_argument("--no-coupling", dest="coupling", action="store_false")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--sigmoid", action="store_true",
-                   help="use SigLIP instead of InfoNCE for pretraining")
+    # SigLIP (the reference's own loss, config.py:116) is the default: on the
+    # coupled hard pool it trains on BOTH platforms (loss 0.15 -> 0.08 within
+    # one epoch, scripts/debug_pretrain_parity.py), while InfoNCE at this
+    # batch/lr/temperature stalls at ln(B) on both — the r4 "CPU generalizes,
+    # chip memorizes" contradiction was an artifact of comparing SigLIP CPU
+    # numbers against InfoNCE chip numbers (docs/BENCHMARKS.md).  The r1
+    # "SigLIP collapses at small batches" finding was the easy fixture +
+    # different sizes; it does not transfer here.
+    p.add_argument("--sigmoid", action="store_true", default=True,
+                   help="use SigLIP for pretraining (default)")
+    p.add_argument("--infonce", dest="sigmoid", action="store_false",
+                   help="use InfoNCE instead (stalls on this fixture at the "
+                        "default batch/lr/temperature — kept for the record)")
     p.add_argument("--out", default="docs/article_hard")
     p.add_argument("--workdir", default="outputs/article_hard",
                    help="fixture + checkpoints live here (gitignored)")

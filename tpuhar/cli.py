@@ -101,12 +101,14 @@ class Pipeline:
         )
         loaders = create_dataloaders(cfg, train_df, val_df, test_df, mode="cross_modal")
         spe = max(len(loaders["train"]), 1)
-        # Contrastive pretraining is precision-sensitive on TPU: with the
-        # default bf16 matmul precision (f32 operands) the InfoNCE similarity
-        # gradients can round to nothing and training silently pins at ln(B) —
-        # measured on the coupled hard fixture: 15 chip epochs at ln 64 while
-        # the same data on CPU f32 reached val 0.08 by epoch 2.  This knob only
-        # affects f32 operands; compute_dtype="bfloat16" models are untouched.
+        # Precision knob for f32-operand pretraining (default: full-f32
+        # matmuls).  NOTE the r4 hypothesis that bf16 matmul precision caused
+        # the coupled-fixture InfoNCE stall was DISPROVED in r5: the stall
+        # reproduces bit-identically under this f32 context and on CPU — it is
+        # a property of InfoNCE at that configuration, not of the device
+        # (scripts/debug_pretrain_parity.py, docs/BENCHMARKS.md "Article
+        # workflow").  The knob stays for numerical-hygiene control only;
+        # compute_dtype="bfloat16" models are untouched by it.
         prec = str(getattr(cfg.training, "pretrain_matmul_precision", "float32"))
         import contextlib
 
