@@ -483,10 +483,11 @@ def test_fast_gelu_noop_for_cnn_backbones(rng):
 
 
 def test_fast_attention_serving_vit(rng):
-    """ViT engines default to the lean flash-attention serving path
-    (parameter-free; TPU-only dispatch — on CPU the flag is set but
-    flash_mha falls back to the XLA reference, so logits are identical).
-    Chip numbers: 7.11 vs 9.54 ms per attention unit (docs/flash_lean.json)."""
+    """ViT engines can opt into the lean flash-attention path (parameter-free;
+    TPU-only dispatch — on CPU the flag is set but flash_mha falls back to the
+    XLA reference, so logits are identical).  Default OFF: the kernel wins
+    per-unit (7.11 vs 9.54 ms) but loses full-stack at the serving batch
+    (585 vs 758 inf/s at 256 — docs/flash_lean.json, docs/BENCHMARKS.md)."""
     cfg = _cfg()
     cfg.model.video_backbone = "videomae_tiny"
     model = FusionClassifier(cfg)
@@ -495,11 +496,11 @@ def test_fast_attention_serving_vit(rng):
     imu = rng.normal(0, 8000, size=(4, 250, 6)).astype(np.float32)
     video = (rng.random((4, 4, 32, 32, 3)) * 255).astype(np.uint8)
 
-    fast = InferenceEngine(cfg, variables, batch_sizes=[4])
-    off = InferenceEngine(cfg, variables, batch_sizes=[4], fast_attention=False)
+    fast = InferenceEngine(cfg, variables, batch_sizes=[4], fast_attention=True)
+    off = InferenceEngine(cfg, variables, batch_sizes=[4])
     assert fast.config.model.use_flash_attention is True
     assert fast.config.model.flash_kernel == "lean"
-    assert off.config.model.use_flash_attention is False
+    assert off.config.model.use_flash_attention is False  # default off
     assert cfg.model.use_flash_attention is False  # caller config untouched
 
     a = np.asarray(fast.predict(imu, video)["logits"])

@@ -62,7 +62,7 @@ class InferenceEngine:
         verify_byte_map: bool = False,
         int8_wire: str = "u8",
         fast_gelu: bool = True,
-        fast_attention: bool = True,
+        fast_attention: bool = False,
     ):
         """``quantize_calib_clips``: pass ``(Ncal, T, H, W, 3)`` uint8 clips to serve
         through the int8 PTQ video tower instead of bf16 (``serving_quant``; tpu_cnn /
@@ -129,12 +129,14 @@ class InferenceEngine:
             if fast_gelu:
                 config.model.gelu_approximate = True
             if fast_attention:
-                # lean flash kernel (ops/flash_lean.py): one-shot full-KV
-                # tiles, 7.11 vs 9.54 ms per attention unit on chip at the
-                # serving shape (docs/flash_lean.json); numerics bf16-exact vs
-                # the XLA path (tests + on-chip check in perf_flash_lean).
-                # Parameter-free, so trained checkpoints serve unchanged; pass
-                # fast_attention=False for the materializing XLA attention.
+                # lean flash kernel (ops/flash_lean.py): wins per attention
+                # unit on chip (7.11 vs 9.54 ms at batch 64) and at the bare
+                # encoder (97.1 vs 108.6 ms), but LOSES full-stack at the
+                # serving batch (585 vs 758 inf/s at 256 — the (B,N,H,d)
+                # <-> (B,H,N,d) layout transposes around the kernel outweigh
+                # the score-materialization saving; docs/flash_lean.json,
+                # docs/BENCHMARKS.md).  Default OFF; numerics bf16-exact vs
+                # the XLA path when enabled.
                 config.model.use_flash_attention = True
                 config.model.flash_kernel = "lean" 
         self.config = config
