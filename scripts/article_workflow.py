@@ -83,6 +83,11 @@ def parse_args():
     # (docs/article_hard_uncoupled/).  --no-coupling reproduces that honest
     # negative; the default demonstrates transfer where transfer is learnable.
     p.add_argument("--no-coupling", dest="coupling", action="store_false")
+    # Pulse-amplitude multiplier for the coupled fixture.  At 1.0 the coupling
+    # is UNLEARNABLE (SigLIP retrieval exactly at chance after 30 epochs,
+    # InfoNCE pinned at ln B — docs/BENCHMARKS.md); sweep scripts/
+    # probe_coupling_strength.py picks the weakest learnable setting.
+    p.add_argument("--coupling-strength", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     # SigLIP (the reference's own loss, config.py:116) is the default: on the
     # coupled hard pool it trains on BOTH platforms (loss 0.15 -> 0.08 within
@@ -120,6 +125,7 @@ def build_config(args, work: Path):
         difficulty="hard",
         label_noise=args.label_noise,
         cross_modal_coupling=args.coupling,
+        coupling_strength=args.coupling_strength,
     )
     cfg = make_synthetic_config(
         work / "data", work / "out",
@@ -145,6 +151,58 @@ def build_config(args, work: Path):
     return cfg
 
 
+def _pool_retrieval(cfg, pool: Path) -> dict:
+    """Pair-retrieval accuracy of the trained cross-modal model on the pool's
+    val split — the HONEST pretraining telemetry.  Loss values lie: SigLIP's
+    dropped 0.15 -> 0.08 on a checkpoint whose retrieval was exactly chance
+    (docs/BENCHMARKS.md 'Article workflow'); a pretrain that learned the
+    coupling must retrieve the matching clip far above 1/N."""
+    import jax
+    import numpy as np
+
+    from tpuhar.data.loader import create_dataloaders
+    from tpuhar.ops.video import normalize_clip
+    from tpuhar.train import checkpoint as ckpt
+    from tpuhar.train.factory import build_crossmodal_task
+    from tpuhar.cli import Pipeline
+
+    pipe = Pipeline(cfg)
+    val_df = pipe._metadata("val")
+    loaders = create_dataloaders(cfg, val_df, val_df, val_df, mode="cross_modal")
+    with jax.default_device(jax.devices("cpu")[0]):
+        task = build_crossmodal_task(cfg, 1, jax.random.PRNGKey(0))
+    best = pool / "out" / "checkpoints" / "cross_modal" / "best_model"
+    state, _ = ckpt.restore_checkpoint(best, task.state)
+
+    @jax.jit
+    def embed(params, bs, imu, video):
+        variables = {"params": params}
+        if bs:
+            variables["batch_stats"] = bs
+        out = task.model.apply(variables, imu, normalize_clip(video), train=False)
+        return out["imu_proj"], out["video_proj"]
+
+    ip, vp = [], []
+    for b in loaders["train"]:
+        i, v = embed(state.params, state.batch_stats, b["imu"], b["video"])
+        n = int(b.get("n_valid", i.shape[0]))
+        ip.append(np.asarray(i)[:n])
+        vp.append(np.asarray(v)[:n])
+    I, V = np.concatenate(ip), np.concatenate(vp)
+    S = I @ V.T
+    order = np.argsort(-S, axis=1)
+    top1 = float((order[:, 0] == np.arange(len(S))).mean())
+    top5 = float((order[:, :5] == np.arange(len(S))[:, None]).any(1).mean())
+    return {
+        "pairs": int(len(S)),
+        "retrieval_top1": round(top1, 4),
+        "retrieval_top5": round(top5, 4),
+        "chance": round(1.0 / len(S), 5),
+        "emb_std_imu": round(float(I.std(0).mean()), 5),
+        "emb_std_video": round(float(V.std(0).mean()), 5),
+    }
+
+
 def pretrain_on_pool(args, work: Path):
     """Pretrain on a separate, larger unlabeled pool; return encoder params.
 
@@ -167,6 +225,7 @@ def pretrain_on_pool(args, work: Path):
         difficulty="hard",
         label_noise=0.0,
         cross_modal_coupling=args.coupling,
+        coupling_strength=args.coupling_strength,
     )
     cfg = make_synthetic_config(
         pool / "data", pool / "out",
@@ -207,6 +266,8 @@ def pretrain_on_pool(args, work: Path):
             f"(ran {epochs_ran}/{args.pretrain_epochs})"
         )
         log(f"pretrain early-stopped: {info['early_stopped']}")
+    info["val_retrieval"] = _pool_retrieval(cfg, pool)
+    log(f"pool val retrieval: {info['val_retrieval']}")
     return enc_params, info
 
 

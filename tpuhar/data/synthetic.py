@@ -33,6 +33,7 @@ def generate_synthetic_dataset(
     label_noise: float = 0.0,
     freq_jitter: Optional[float] = None,
     cross_modal_coupling: bool = False,
+    coupling_strength: float = 1.0,
 ) -> Path:
     """Create a fake dataset under ``root``; returns ``root``.
 
@@ -105,6 +106,7 @@ def generate_synthetic_dataset(
                         fps=fps,
                         difficulty=difficulty,
                         pulse_freq=seq_freq if cross_modal_coupling else None,
+                        pulse_strength=coupling_strength,
                     )
 
                 label = ci
@@ -151,6 +153,7 @@ def _synth_sequence(
 def _write_video(
     path: Path, rng, class_idx: int, num_frames: int, size, fps: float,
     difficulty: str = "easy", pulse_freq: Optional[float] = None,
+    pulse_strength: float = 1.0,
 ) -> None:
     import cv2
 
@@ -173,11 +176,20 @@ def _write_video(
         frame = rng.normal(base, noise_sigma, size=(h, w, 3)).astype(np.float32)
         if pulse_freq is not None:
             # cross_modal_coupling: brightness pulses at the sequence's IMU
-            # frequency (instance-level shared structure across modalities)
+            # frequency (instance-level shared structure across modalities).
+            # ``pulse_strength`` scales the oscillation amplitude: at 1.0 the
+            # hard fixture's pulse (amp ~tint/2 = 4.5-12 gray levels under
+            # sigma=45 pixel noise, sampled over 4 frames = 0.16 s of a
+            # 0.8-1.4 Hz sine) is UNLEARNABLE by either contrastive loss —
+            # measured: SigLIP retrieval top-1 exactly at chance after 30
+            # epochs, InfoNCE pinned at ln(B) (docs/BENCHMARKS.md "Article
+            # workflow").  Raise it (and frames/clip) to make the coupling
+            # learnable-but-nontrivial.
             phase = 2 * np.pi * pulse_freq * fi / fps
+            frame += tint * pulse_strength * (0.5 + 0.5 * np.sin(phase))
         else:
             phase = 2 * np.pi * fi / 16.0
-        frame += tint * (0.5 + 0.5 * np.sin(phase))
+            frame += tint * (0.5 + 0.5 * np.sin(phase))
         writer.write(np.clip(frame, 0, 255).astype(np.uint8))
     writer.release()
 
