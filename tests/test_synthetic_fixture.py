@@ -112,3 +112,32 @@ def test_cross_modal_coupling_pulses_at_sequence_freq(tmp_path):
             # fixed 16-frame period at 25 fps = 1.5625 Hz for every sequence
             for ci, f in pulse.items():
                 assert abs(f - 25.0 / 16.0) < 0.1, (ci, f)
+
+
+def test_coupling_strength_scales_pulse_amplitude(tmp_path):
+    """coupling_strength multiplies the brightness-pulse amplitude (the
+    strength-1.0 pulse is unlearnable — docs/BENCHMARKS.md 'Article
+    workflow'); the spectral peak at the pulse frequency must scale ~linearly."""
+    import cv2
+
+    def pulse_power(strength):
+        root = generate_synthetic_dataset(
+            tmp_path / f"s{strength:g}", num_classes=1, samples_per_class=1,
+            seq_len=1500, difficulty="hard", seed=11,
+            cross_modal_coupling=True, coupling_strength=strength,
+        )
+        cdir = "0_activity0"
+        cap = cv2.VideoCapture(str(root / "video" / cdir / f"{cdir}_train_0.mp4"))
+        means = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            means.append(frame.mean())
+        cap.release()
+        x = np.asarray(means) - np.mean(means)
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return float(spec[1:].max())
+
+    p1, p4 = pulse_power(1.0), pulse_power(4.0)
+    assert p4 > 2.5 * p1, (p1, p4)
