@@ -30,8 +30,10 @@ def log(m):
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # must run BEFORE any backend query — jax.default_backend() would
+    # initialize the axon backend and the platforms update would be a no-op
+    # (the 2026-08-21 sweep ran on the chip because of exactly that)
+    jax.config.update("jax_platforms", "cpu")
 
     from tpuhar.data.synthetic import generate_synthetic_dataset, make_synthetic_config
     from tpuhar.cli import Pipeline
